@@ -1,0 +1,86 @@
+"""Predicate operators F1–F6 + S3/S5/S6 range/probe scans (SURVEY.md §2.2).
+
+All are thin, declarative DataFrame predicates so Catalyst pushes them into
+the parquet scan (``PushedFilters``) and prunes LSN-bucket partitions —
+the Spark rendering of the reference's indexed capture-table range scans
+(``LuwPlatform.java:29-39``, index ``asncdcaddremove.sql:101-106``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def lsn_range(df: DataFrame, from_lsn: int, to_lsn: int) -> DataFrame:
+    """S3: closed LSN interval scan (``Db2Connection.java:181-188``)."""
+    return df.where((F.col("commit_lsn") >= from_lsn) & (F.col("commit_lsn") <= to_lsn))
+
+
+def after_position(df: DataFrame, commit_lsn: int, intent_seq: int) -> DataFrame:
+    """F2/F3: restart dedup — drop rows at or before the checkpointed
+    position ``(commit_lsn, intent_seq)`` (``Db2StreamingChangeEventSource
+    .java:208-223``).  Tuple compare, pushdown-friendly: the coarse
+    ``commit_lsn >= x`` bound prunes buckets, the precise struct compare
+    finishes the job.
+    """
+    coarse = F.col("commit_lsn") >= F.lit(commit_lsn)
+    precise = F.struct(F.col("commit_lsn"), F.col("intent_seq")) > F.struct(
+        F.lit(commit_lsn).cast("long"), F.lit(intent_seq).cast("long")
+    )
+    return df.where(coarse & precise)
+
+
+def null_lsn_guard(df: DataFrame) -> DataFrame:
+    """F5 (``Db2StreamingChangeEventSource.java:203-207``)."""
+    return df.where(F.col("commit_lsn").isNotNull())
+
+
+def include_tables(df: DataFrame, included: Iterable[str]) -> DataFrame:
+    """F1: table include-list (``Db2StreamingChangeEventSource.java:358-368``)."""
+    return df.where(F.col("table").isin(list(included)))
+
+
+def exclude_tables(df: DataFrame, excluded: Iterable[str]) -> DataFrame:
+    return df.where(~F.col("table").isin(list(excluded)))
+
+
+def stop_lsn_filter(df: DataFrame, registry: DataFrame) -> DataFrame:
+    """F4: drop changes at/after a capture instance's stop LSN
+    (``Db2StreamingChangeEventSource.java:233-239``).  Registry is tiny →
+    broadcast join.
+    """
+    reg = F.broadcast(registry.select("table", "schema_version", "stop_lsn"))
+    joined = df.join(reg, on=["table", "schema_version"], how="left")
+    return joined.where(
+        F.col("stop_lsn").isNull() | (F.col("commit_lsn") < F.col("stop_lsn"))
+    ).drop("stop_lsn")
+
+
+def project_payload(df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """F6: strip CDC metadata columns (``Db2Connection.java:396-400``)."""
+    return df.select(*payload_cols)
+
+
+def max_lsn(df: DataFrame) -> int | None:
+    """S5: high-water-mark probe (``Db2Connection.java:108-116``)."""
+    row = df.agg(F.max("commit_lsn").alias("m")).collect()[0]
+    return row["m"]
+
+
+def max_lsn_for_timespan(df: DataFrame, from_lsn: int, seconds: int) -> int | None:
+    """S6: time-bounded end LSN (``Db2Connection.java:118-170``).
+
+    Largest commit_lsn whose ts <= (min ts past from_lsn) + seconds —
+    bounds a micro-batch by wall-clock span like
+    ``streaming.query.timespan.seconds``.
+    """
+    ahead = df.where(F.col("commit_lsn") > from_lsn)
+    lo_ts = ahead.agg(F.min("ts").alias("t")).collect()[0]["t"]
+    if lo_ts is None:
+        return None
+    bound = ahead.where(
+        F.col("ts") <= F.lit(lo_ts) + F.make_dt_interval(secs=F.lit(float(seconds)))
+    ).agg(F.max("commit_lsn").alias("m")).collect()[0]["m"]
+    return bound

@@ -1,0 +1,275 @@
+"""The CDC engine: snapshot-then-stream orchestration.
+
+Spark rendering of the reference's coordinator + streaming loop
+(``Db2ConnectorTask.java:82-179`` start sequence;
+``Db2StreamingChangeEventSource.java:114-308`` loop):
+
+* ``snapshot_load``      — initial consistent snapshot (S1; §3.2): bulk
+  load the source into the target lake table and pin the snapshot LSN
+  (the reference's ``determineSnapshotOffset`` handoff point).
+* ``run_available``      — the micro-batch loop (T1/T2): probe max LSN
+  (S5), read the LSN interval (S3, partition-pruned), drop already-applied
+  positions (F2/F3), classify + pair (J3/J4), dedup last-writer-wins (A4),
+  MERGE into the lake table (J5) with a deterministic batch id
+  (exactly-once, T4), write per-partition lineage, advance the checkpoint.
+* schema changes         — applied at their effective LSN by splitting the
+  batch at the switch point, mirroring the reference's LSN-ordered schema
+  checkpoint queue (``Db2StreamingChangeEventSource.java:119, 241-245,
+  350-412``).
+
+Crash-safety argument (tested in tests/test_restart.py): the lake commit
+records the batch id atomically with the data.  If the process dies after
+the MERGE but before the checkpoint write, the restart recomputes a batch
+covering the same events; the MERGE is last-writer-wins per key, so
+re-applying an already-applied prefix together with newer events yields
+the same final state, and an *identical* recomputed batch is skipped
+outright by its batch id.  The reference reaches the same guarantee
+serially via per-record offsets + event serial numbers
+(``Db2OffsetContext.java:66-104``, ``restartInTheMiddleOfTx*`` tests).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from debezium_connector_db2_spark.lake import LakeTable
+from debezium_connector_db2_spark.operators.classify import (
+    flatten_events,
+    to_change_events,
+)
+from debezium_connector_db2_spark.operators.dedup import latest_per_key
+from debezium_connector_db2_spark.operators.filters import after_position
+from debezium_connector_db2_spark.schemas import PK_COLS
+from debezium_connector_db2_spark.sources.binlog import BinlogSource
+from debezium_connector_db2_spark.streaming.checkpoint import Checkpoint, Offset
+
+
+@dataclass
+class SchemaChange:
+    """A DDL to apply at ``effective_lsn`` (first LSN of the new schema)."""
+
+    effective_lsn: int
+    action: str  # 'add_column' | 'rename_column'
+    args: dict = field(default_factory=dict)
+
+
+@dataclass
+class BatchMetrics:
+    epoch: int
+    from_lsn: int
+    to_lsn: int
+    events: int
+    keys: int
+    applied: bool
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        binlog: BinlogSource,
+        target: LakeTable,
+        checkpoint_dir: str,
+        table: str = "transcripts",
+        pk_cols: Sequence[str] = tuple(PK_COLS),
+        dedup_strategy: str = "agg",
+        max_lsns_per_batch: int | None = None,
+        schema_changes: Sequence[SchemaChange] = (),
+        lineage_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.binlog = binlog
+        self.target = target
+        self.table = table
+        self.pk_cols = list(pk_cols)
+        self.dedup_strategy = dedup_strategy
+        self.max_lsns_per_batch = max_lsns_per_batch
+        self.schema_changes = sorted(schema_changes, key=lambda c: c.effective_lsn)
+        self.checkpoint = Checkpoint(checkpoint_dir)
+        self.lineage_dir = lineage_dir or os.path.join(
+            os.path.abspath(checkpoint_dir), "lineage"
+        )
+
+    # -- snapshot phase (S1, §3.2) ------------------------------------------
+
+    def snapshot_load(self, source: DataFrame) -> Offset:
+        """Initial consistent snapshot -> bulk overwrite of the target.
+
+        The caller passes a *pinned* source DataFrame (e.g. a lake-table
+        version or a frozen parquet dir) — consistency without locks, the
+        Spark analogue of the reference's isolation-level dance
+        (``Db2SnapshotChangeEventSource.java:70-122``).  Streaming then
+        starts from the current max binlog LSN.
+        """
+        off = self.checkpoint.read()
+        if off.snapshot_completed:
+            return off
+        snapshot_lsn = self.binlog.max_lsn() or 0
+        self.target.overwrite(
+            source, batch_id="snapshot",
+            summary={"operation": "snapshot", "snapshot_lsn": snapshot_lsn},
+        )
+        off = Offset(commit_lsn=snapshot_lsn, intent_seq=2**62, epoch=0,
+                     snapshot_completed=True, last_batch_id="snapshot")
+        self.checkpoint.write(off)
+        return off
+
+    # -- streaming phase -----------------------------------------------------
+
+    def payload_cols(self) -> list[str]:
+        return [f.name for f in self.target.schema().fields]
+
+    def _apply_ddl(self, change: SchemaChange) -> None:
+        if change.action == "add_column":
+            self.target.add_column(**change.args)
+        elif change.action == "rename_column":
+            self.target.rename_column(**change.args)
+        else:
+            raise ValueError(f"unknown schema change action {change.action!r}")
+
+    def apply_batch(self, off: Offset, to_lsn: int) -> BatchMetrics:
+        """Classify → dedup → MERGE one LSN interval ``(off.pos, to_lsn]``."""
+        payload_cols = self.payload_cols()
+        raw = self.binlog.read_range(off.commit_lsn, to_lsn)
+        raw = raw.where(F.col("table") == self.table)           # F1
+        raw = after_position(raw, off.commit_lsn, off.intent_seq)  # F2/F3
+
+        # Align raw binlog columns to the current target schema: columns the
+        # binlog doesn't carry yet (pre-evolution events in a post-evolution
+        # read) are filled as NULL by the parquet reader already.
+        events = to_change_events(raw, self.pk_cols, payload_cols)
+        flat = flatten_events(events, self.pk_cols, payload_cols)
+        latest = latest_per_key(
+            flat, self.pk_cols, ("commit_lsn", "intent_seq"),
+            strategy=self.dedup_strategy,
+        )
+        changes = latest.select(*self.pk_cols, "op",
+                                *[c for c in payload_cols if c not in self.pk_cols])
+        changes = changes.persist()
+        try:
+            n_keys = changes.count()
+            batch_id = f"cdc-{self.table}-{off.commit_lsn}-{off.intent_seq}-{to_lsn}"
+            applied = True
+            if n_keys > 0:
+                applied = self.target.merge_changes(
+                    changes, self.pk_cols, op_col="op", delete_op="d",
+                    batch_id=batch_id,
+                    summary={"operation": "merge", "epoch": off.epoch + 1,
+                             "from_lsn": off.commit_lsn, "to_lsn": to_lsn},
+                )
+            self._write_lineage(flat, off.epoch + 1)
+            n_events = n_keys  # event count per key; full count in lineage
+        finally:
+            changes.unpersist()
+
+        new_off = Offset(
+            commit_lsn=to_lsn, intent_seq=2**62, epoch=off.epoch + 1,
+            snapshot_completed=off.snapshot_completed, last_batch_id=batch_id,
+        )
+        self.checkpoint.write(new_off)
+        return BatchMetrics(new_off.epoch, off.commit_lsn, to_lsn, n_events,
+                            n_keys, applied)
+
+    def _write_lineage(self, flat: DataFrame, epoch: int) -> None:
+        """Per-partition lineage: max applied LSN, counts, watermark (the
+        reference's offset map + CAPMON counters, FIXTURES.md §3)."""
+        lin = (
+            flat.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(
+                F.max("commit_lsn").alias("max_applied_lsn"),
+                F.count(F.lit(1)).alias("event_count"),
+                F.max("ts").alias("watermark"),
+            )
+            .select(
+                F.lit(epoch).cast("long").alias("epoch"),
+                F.col("partition"),
+                "max_applied_lsn", "event_count", "watermark",
+                F.lit(datetime.datetime.now(datetime.timezone.utc)).alias("committed_at"),
+            )
+        )
+        lin.write.mode("append").parquet(self.lineage_dir)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)
+
+    def run_available(
+        self,
+        on_batch: Callable[[BatchMetrics], Any] | None = None,
+        crash_after_merge_epoch: int | None = None,
+    ) -> list[BatchMetrics]:
+        """Drain the binlog to its current end in bounded micro-batches.
+
+        ``availableNow`` semantics (T1/T2).  ``crash_after_merge_epoch`` is
+        a test hook that simulates dying between the sink commit and the
+        checkpoint write (the exactly-once crash window).
+        """
+        out: list[BatchMetrics] = []
+        while True:
+            off = self.checkpoint.read()
+            hi = self.binlog.max_lsn()
+            if hi is None or hi <= off.commit_lsn:
+                break  # T9: nothing new — idle heartbeat
+            lo = off.commit_lsn
+            if self.max_lsns_per_batch is not None:
+                # fast-forward over LSN gaps so bounded batches never scan
+                # empty ranges (the reference's idle sleep T9, but for holes)
+                nxt = self.binlog.min_lsn_after(lo)
+                if nxt is None:
+                    break
+                lo = max(lo, nxt - 1)
+                if lo > off.commit_lsn:
+                    off = Offset(commit_lsn=lo, intent_seq=-1, epoch=off.epoch,
+                                 snapshot_completed=off.snapshot_completed,
+                                 last_batch_id=off.last_batch_id)
+                hi = min(hi, lo + self.max_lsns_per_batch)
+
+            # LSN-ordered schema-change checkpoints: split the batch at the
+            # first pending switch inside the interval.
+            pending = [c for c in self.schema_changes
+                       if lo < c.effective_lsn <= hi + 1]
+            if pending and pending[0].effective_lsn <= hi:
+                sw = pending[0]
+                if sw.effective_lsn - 1 > lo:
+                    m = self.apply_batch(off, sw.effective_lsn - 1)
+                    out.append(m)
+                    if on_batch:
+                        on_batch(m)
+                self._apply_ddl(sw)
+                self.schema_changes = [c for c in self.schema_changes if c is not sw]
+                continue
+
+            if crash_after_merge_epoch is not None and off.epoch + 1 == crash_after_merge_epoch:
+                # simulate: merge commits, checkpoint write never happens
+                self._apply_batch_without_checkpoint(off, hi)
+                raise SimulatedCrash(off.epoch + 1)
+
+            m = self.apply_batch(off, hi)
+            out.append(m)
+            if on_batch:
+                on_batch(m)
+        return out
+
+    def _apply_batch_without_checkpoint(self, off: Offset, to_lsn: int) -> None:
+        payload_cols = self.payload_cols()
+        raw = self.binlog.read_range(off.commit_lsn, to_lsn)
+        raw = raw.where(F.col("table") == self.table)
+        raw = after_position(raw, off.commit_lsn, off.intent_seq)
+        events = to_change_events(raw, self.pk_cols, payload_cols)
+        flat = flatten_events(events, self.pk_cols, payload_cols)
+        latest = latest_per_key(flat, self.pk_cols, ("commit_lsn", "intent_seq"),
+                                strategy=self.dedup_strategy)
+        changes = latest.select(*self.pk_cols, "op",
+                                *[c for c in payload_cols if c not in self.pk_cols])
+        self.target.merge_changes(
+            changes, self.pk_cols, op_col="op", delete_op="d",
+            batch_id=f"cdc-{self.table}-{off.commit_lsn}-{off.intent_seq}-{to_lsn}",
+        )
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by the crash-injection test hook."""
