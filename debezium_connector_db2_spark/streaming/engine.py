@@ -91,6 +91,11 @@ class CdcEngine:
         self.max_lsns_per_batch = max_lsns_per_batch
         self.schema_changes = sorted(schema_changes, key=lambda c: c.effective_lsn)
         self.checkpoint = Checkpoint(checkpoint_dir)
+        #: renames applied so far: old binlog column -> current target column
+        #: (the old capture instance keeps writing the old name until its
+        #: stop LSN; reads normalize it, Db2StreamingChangeEventSource
+        #: migrateTable analogue)
+        self.binlog_renames: dict[str, str] = {}
         self.lineage_dir = lineage_dir or os.path.join(
             os.path.abspath(checkpoint_dir), "lineage"
         )
@@ -129,8 +134,19 @@ class CdcEngine:
             self.target.add_column(**change.args)
         elif change.action == "rename_column":
             self.target.rename_column(**change.args)
+            self.binlog_renames[change.args["old"]] = change.args["new"]
         else:
             raise ValueError(f"unknown schema change action {change.action!r}")
+
+    def _normalize_binlog(self, raw: DataFrame) -> DataFrame:
+        """Map old capture-instance column names onto the current schema."""
+        for old, new in self.binlog_renames.items():
+            cols = raw.columns
+            if old in cols and new in cols:
+                raw = raw.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in cols:
+                raw = raw.withColumnRenamed(old, new)
+        return raw
 
     def apply_batch(self, off: Offset, to_lsn: int) -> BatchMetrics:
         """Classify → dedup → MERGE one LSN interval ``(off.pos, to_lsn]``."""
@@ -138,6 +154,7 @@ class CdcEngine:
         raw = self.binlog.read_range(off.commit_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)           # F1
         raw = after_position(raw, off.commit_lsn, off.intent_seq)  # F2/F3
+        raw = self._normalize_binlog(raw)
 
         # Align raw binlog columns to the current target schema: columns the
         # binlog doesn't carry yet (pre-evolution events in a post-evolution
@@ -259,6 +276,7 @@ class CdcEngine:
         raw = self.binlog.read_range(off.commit_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)
         raw = after_position(raw, off.commit_lsn, off.intent_seq)
+        raw = self._normalize_binlog(raw)
         events = to_change_events(raw, self.pk_cols, payload_cols)
         flat = flatten_events(events, self.pk_cols, payload_cols)
         latest = latest_per_key(flat, self.pk_cols, ("commit_lsn", "intent_seq"),
