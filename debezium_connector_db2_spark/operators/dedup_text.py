@@ -1,0 +1,241 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four families, each scale-shaped for Spark:
+
+* **exact**: hash-groupBy on a normalized fingerprint — one shuffle on the
+  md5, map-side combined; at 100 TB this is the cheapest possible dedup.
+* **n-gram Jaccard** (exact near-dup): shingle -> inverted index ->
+  candidate pairs by shared shingle -> exact Jaccard filter.  The join is
+  on the shingle (high cardinality, well distributed); frequent-shingle
+  skew is cut by dropping shingles above a document-frequency cap.
+* **MinHash + LSH** (approximate near-dup): k seeded min-hashes ->
+  signature -> banded bucket hash -> candidates join on (band, bucket) ->
+  exact-Jaccard verification.  Probing cost is linear in docs; no O(n²).
+* **SimHash**: B sign-bits of hash-weighted token sums -> fingerprint;
+  near-dups = pairs within Hamming distance `max_hamming`, found by
+  bucketing on fingerprint chunks (pigeonhole: d <= max_hamming implies
+  some chunk of max_hamming+1 chunks matches exactly).
+
+All hashes are the portable md5-60-bit family (functions/hashing.py) so
+DuckDB oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from debezium_connector_db2_spark.functions.hashing import h60, seeded
+from debezium_connector_db2_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: keeper id + duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted index.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to
+    6 dp.  ``max_shingle_df`` drops stop-shingles whose posting list would
+    explode the candidate join (skew guard; documented loss: pairs similar
+    *only* through ultra-common shingles are missed — acceptable for
+    near-dup detection and disabled by passing None).
+    """
+    sh = _shingled(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """Per-doc minhash signature as n_hashes columns mh0..mh{n-1}."""
+    sh = _shingled(df, id_col, text_col, k_shingle)
+    aggs = [
+        F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs by banded LSH, verified with exact Jaccard.
+
+    Signature of n_hashes rows split into ``bands`` bands of r =
+    n_hashes/bands; docs sharing any band bucket become candidates.
+    Candidates are then *exactly* verified, so output precision is 1.0 and
+    only recall depends on the LSH parameters.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col("doc_id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sh = _shingled(df, id_col, text_col, k_shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: sign of per-bit sums of token-hash bits."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", h60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n_bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole bucketing: split the fingerprint into max_hamming+1 chunks;
+    any pair within distance d <= max_hamming agrees exactly on >=1 chunk,
+    so candidates are found with equi-joins on (chunk_id, chunk_value) —
+    never a cross join.
+    """
+    fps = simhash(df, id_col, text_col, n_bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    chunks = []
+    for c in range(n_chunks):
+        mask = ((1 << chunk_bits) - 1) << (c * chunk_bits)
+        chunks.append(
+            fps.select(
+                "doc_id", "simhash",
+                F.lit(c).alias("chunk"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("cval"),
+            )
+        )
+    cdf = chunks[0]
+    for c in chunks[1:]:
+        cdf = cdf.unionByName(c)
+    cand = (
+        cdf.alias("x").join(cdf.alias("y"), ["chunk", "cval"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

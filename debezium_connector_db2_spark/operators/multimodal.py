@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct.  The
+Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
+partitioning — is real and tested; the *codec* itself is stubbed because
+no image/audio libraries ship in this container:
+
+* ``decode_stub="deterministic"`` (default) derives metadata (width,
+  height, duration) as a pure function of the payload's md5 — testable
+  end-to-end and oracle-reproducible in SQL;
+* ``decode_stub="raise"`` marks where a real decoder (PIL/ffmpeg/...)
+  plugs in, raising ``NotImplementedError`` per batch.
+
+The pandas UDF is Arrow-vectorized: one Python call per record *batch*
+(``spark.sql.execution.arrow.maxRecordsPerBatch``), never per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),     # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta_width", T.IntegerType(), True),
+    T.StructField("meta_height", T.IntegerType(), True),
+    T.StructField("meta_duration_ms", T.IntegerType(), True),
+    T.StructField("payload_md5", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def to_media(df: DataFrame, id_col: str, payload_col, kind: str = "image") -> DataFrame:
+    """Wrap any binary-producing expression as an opaque media column."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload_col.cast("binary").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str, int]:
+    md5 = hashlib.md5(payload).hexdigest()
+    h60 = int(md5[:15], 16)
+    return (
+        int(h60 % 1920) + 1,            # width
+        int((h60 >> 16) % 1080) + 1,    # height
+        int((h60 >> 32) % 60000),       # duration_ms
+        md5,
+        len(payload),
+    )
+
+
+def decode_media(df: DataFrame, decode_stub: str = "deterministic") -> DataFrame:
+    """Extract metadata from payloads via Arrow-batched ``mapInPandas``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg; plug in here"
+                )
+            decoded = [
+                _fake_decode(bytes(p)) if p is not None else (None,) * 5
+                for p in pdf["payload"]
+            ]
+            pdf = pdf.copy()
+            pdf["meta_width"] = pd.array([d[0] for d in decoded], dtype="Int32")
+            pdf["meta_height"] = pd.array([d[1] for d in decoded], dtype="Int32")
+            pdf["meta_duration_ms"] = pd.array([d[2] for d in decoded], dtype="Int32")
+            pdf["payload_md5"] = [d[3] for d in decoded]
+            pdf["n_bytes"] = pd.array([d[4] for d in decoded], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Expand each video into its frame-sample timestamps (plumbing for a
+    frame extractor): JVM-side sequence, no Python."""
+    meta = decode_media(df)
+    return meta.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta_duration_ms") - 1, F.lit(0)),
+                       F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force top-k: broadcast the (small) query set,
+  JVM-native dot product via ``zip_with``/``aggregate`` (no Python).  The
+  baseline and the exactness oracle.
+* ``lsh_ann_topk`` — the scale path: sign-random-projection LSH buckets;
+  each item is compared only against queries sharing a bucket, turning the
+  n_items × n_queries cross join into bucket-equijoins.  Hyperplanes are
+  derived from the portable md5 hash family, so the partitioning is
+  deterministic and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from debezium_connector_db2_spark.functions.hashing import seeded
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    items: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 10, round_to: int = 4,
+) -> DataFrame:
+    """For every query vector, the k nearest items by cosine similarity.
+
+    Output: (query_id, item_id, cos, rank).  ``queries`` must be small —
+    it is broadcast, so the scan of ``items`` stays a single pass with no
+    shuffle of the big side.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("ivec"))
+    scored = (
+        it.join(F.broadcast(q))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id", "item_id",
+            F.round(cosine_expr(F.col("ivec"), F.col("qvec")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _plane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Pure function of (plane_idx, dim_idx) via the portable md5-60bit hash —
+    identical in the DuckDB oracle.
+    """
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{seed}:p{plane_idx}:d{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, seed: int = 7):
+    """Sign-LSH bucket id: bit i = sign(v · plane_i)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _plane(dim, p, seed)])
+        bucket = bucket + F.when(_dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    items: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, k: int = 10, n_planes: int = 6,
+    round_to: int = 4, multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets.
+
+    ``multiprobe_bits=1`` also probes every bucket at Hamming distance 1
+    from the query's bucket (standard multiprobe LSH), trading a
+    (n_planes+1)× query fanout for much better recall.  Queries stay
+    broadcast: fanout applies to the small side only.
+    """
+    it = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("ivec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("ivec"), dim, n_planes))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket0", lsh_bucket_expr(F.col("qvec"), dim, n_planes))
+    probes = [F.col("bucket0")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
+
+    scored = (
+        it.join(F.broadcast(q), "bucket")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id", "item_id",
+            F.round(cosine_expr(F.col("ivec"), F.col("qvec")), round_to).alias("cos"),
+        )
+        .distinct()  # an item may match several probes of one query
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
