@@ -1,0 +1,171 @@
+"""Benchmark harness.
+
+Primary metric (BASELINE.json): end-to-end change-events/sec applied —
+a deterministic synthetic transcript CDC workload (Zipf-skewed, pair
+encodings, deletes) is generated at a size proportional to the sf of
+``$SPARK_GRAFT_SF_DIR``, replayed through snapshot + micro-batched
+classify/dedup/MERGE, and timed to final lake-table state.
+
+Also times the headline operator queries from ``__spark_entry__`` on the
+driver-provided parquet tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": events_per_sec, "unit": "events/sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# change-ops per unit sf: sf0.1 -> 2M logical ops (~2.3M physical rows)
+OPS_PER_SF = int(os.environ.get("SPARK_GRAFT_OPS_PER_SF", str(20_000_000)))
+
+HEADLINE = [
+    "cdc_replay_events",
+    "cdc_last_writer_wins",
+    "cdc_opcode_classify",
+    "cdc_merge_final_state",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "ann_cosine_topk",
+    "media_decode",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .getOrCreate()
+    )
+
+
+def bench_cdc_replay(spark: SparkSession, n_ops: int, work_dir: str,
+                     n_batches: int = 4) -> dict:
+    """Generate → snapshot-load → replay; returns events/sec and detail."""
+    from debezium_connector_db2_spark.lake import LakeTable
+    from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
+    from debezium_connector_db2_spark.sources.binlog import BinlogSource
+    from debezium_connector_db2_spark.sources.generator import (
+        generate_binlog,
+        generate_snapshot,
+    )
+    from debezium_connector_db2_spark.streaming.engine import CdcEngine
+
+    n_convs = max(n_ops // 200, 100)          # ~200 ops per conversation
+    avg_tx = 8
+    n_lsns = n_ops // avg_tx
+
+    snap = generate_snapshot(spark, n_convs=n_convs, turns_per_conv=20, seed=42)
+    binlog = generate_binlog(
+        spark, n_ops=n_ops, n_convs=n_convs, turns_per_conv=20, seed=42,
+        avg_tx_size=avg_tx, zipf_s=2.0,
+    )
+    src = BinlogSource(spark, os.path.join(work_dir, "binlog"),
+                       bucket_size=max(n_lsns // 64, 1))
+    t0 = time.time()
+    src.write(binlog)
+    gen_sec = time.time() - t0
+    n_events = src.read().count()
+
+    target = LakeTable.create(
+        spark, os.path.join(work_dir, "target"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=max(CPUS * 2, 16),
+    )
+    eng = CdcEngine(
+        spark, src, target, os.path.join(work_dir, "ckpt"),
+        max_lsns_per_batch=max(n_lsns // n_batches, 1),
+    )
+    t0 = time.time()
+    target.overwrite(snap, batch_id="snapshot")
+    snap_sec = time.time() - t0
+
+    t0 = time.time()
+    batches = eng.run_available()
+    replay_sec = time.time() - t0
+    final_rows = target.read().count()
+
+    return {
+        "n_change_events": n_events,
+        "gen_sec": round(gen_sec, 2),
+        "snapshot_sec": round(snap_sec, 2),
+        "replay_sec": round(replay_sec, 2),
+        "events_per_sec": round(n_events / replay_sec, 1),
+        "n_batches": len(batches),
+        "final_rows": final_rows,
+    }
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main():
+    sf = _sf_of(SF_DIR)
+    n_ops = max(int(OPS_PER_SF * sf), 10_000)
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        cdc = bench_cdc_replay(spark, n_ops, work)
+        queries = bench_queries(spark, SF_DIR)
+        result = {
+            "metric": "end-to-end change-events/sec applied (snapshot + "
+                      "micro-batched replay to final lake-table state)",
+            "value": cdc["events_per_sec"],
+            "unit": "events/sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": CPUS,
+            "cdc_detail": cdc,
+        }
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

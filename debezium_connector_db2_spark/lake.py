@@ -362,8 +362,11 @@ class LakeTable:
             F.col(op_col).alias("__op"), *[F.col(c) for c in cols if c not in key_cols],
         )
         # Survivors: target rows whose key does NOT appear in the batch.
+        # ``changes`` carries ≤1 row per key (A4 dedup ran upstream), so no
+        # distinct is needed; AQE converts this to a broadcast anti-join
+        # when the key set is small.
         survivors = old.join(
-            keyed.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
+            keyed.select(*key_cols), on=list(key_cols), how="left_anti"
         )
         upserts = keyed.where(F.col("__op") != delete_op).drop("__op")
         new_rows = survivors.select(*cols, "__bucket").unionByName(

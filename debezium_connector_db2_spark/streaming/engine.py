@@ -78,6 +78,7 @@ class CdcEngine:
         table: str = "transcripts",
         pk_cols: Sequence[str] = tuple(PK_COLS),
         dedup_strategy: str = "agg",
+        classify_mode: str = "fast",
         max_lsns_per_batch: int | None = None,
         schema_changes: Sequence[SchemaChange] = (),
         lineage_dir: str | None = None,
@@ -88,6 +89,15 @@ class CdcEngine:
         self.table = table
         self.pk_cols = list(pk_cols)
         self.dedup_strategy = dedup_strategy
+        #: 'full'  — classify + pair-collapse (J3/J4) before applying:
+        #:           produces the canonical event stream, costs one extra
+        #:           shuffle (the per-tx lead/lag window).
+        #: 'fast'  — apply raw capture rows directly: D deletes, I/U/R
+        #:           upsert.  Final-state-equivalent to 'full' because a
+        #:           D+I pair *is* a delete of the old key followed by an
+        #:           insert of the new key, and last-writer-wins dedup is
+        #:           op-label-agnostic.  One shuffle saved per batch.
+        self.classify_mode = classify_mode
         self.max_lsns_per_batch = max_lsns_per_batch
         self.schema_changes = sorted(schema_changes, key=lambda c: c.effective_lsn)
         self.checkpoint = Checkpoint(checkpoint_dir)
@@ -148,8 +158,18 @@ class CdcEngine:
                 raw = raw.withColumnRenamed(old, new)
         return raw
 
-    def apply_batch(self, off: Offset, to_lsn: int) -> BatchMetrics:
-        """Classify → dedup → MERGE one LSN interval ``(off.pos, to_lsn]``."""
+    def apply_batch(self, off: Offset, to_lsn: int,
+                    write_checkpoint: bool = True) -> BatchMetrics:
+        """Classify → dedup → MERGE one LSN interval ``(off.pos, to_lsn]``.
+
+        Job economy (matters at micro-batch cadence): the raw-event stats
+        ride on an ``Observation`` (zero extra jobs), the deduplicated
+        change set is cached and materialized by the MERGE itself, and the
+        per-partition lineage is read off that small cache — two heavy
+        actions per batch total (dedup+prune, write).
+        """
+        from pyspark.sql import Observation
+
         payload_cols = self.payload_cols()
         raw = self.binlog.read_range(off.commit_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)           # F1
@@ -159,43 +179,61 @@ class CdcEngine:
         # Align raw binlog columns to the current target schema: columns the
         # binlog doesn't carry yet (pre-evolution events in a post-evolution
         # read) are filled as NULL by the parquet reader already.
-        events = to_change_events(raw, self.pk_cols, payload_cols)
-        flat = flatten_events(events, self.pk_cols, payload_cols)
+        if self.classify_mode == "full":
+            events = to_change_events(raw, self.pk_cols, payload_cols)
+            flat = flatten_events(events, self.pk_cols, payload_cols)
+        else:
+            # fast path: raw rows are directly applicable (see __init__)
+            flat = raw.select(
+                "commit_lsn", "intent_seq",
+                F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+                "table", "schema_version", *payload_cols,
+            )
+        obs = Observation(f"batch-{off.epoch + 1}")
+        flat = flat.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("commit_lsn").alias("max_lsn"),
+            F.max("ts").alias("watermark"),
+        )
         latest = latest_per_key(
             flat, self.pk_cols, ("commit_lsn", "intent_seq"),
             strategy=self.dedup_strategy,
         )
-        changes = latest.select(*self.pk_cols, "op",
-                                *[c for c in payload_cols if c not in self.pk_cols])
-        changes = changes.persist()
+        changes = latest.select(
+            *self.pk_cols, "op", "commit_lsn", "intent_seq",
+            *[c for c in payload_cols if c not in self.pk_cols],
+        ).persist()
+        batch_id = f"cdc-{self.table}-{off.commit_lsn}-{off.intent_seq}-{to_lsn}"
+        n_events = n_keys = 0
         try:
-            n_keys = changes.count()
-            batch_id = f"cdc-{self.table}-{off.commit_lsn}-{off.intent_seq}-{to_lsn}"
-            applied = True
-            if n_keys > 0:
-                applied = self.target.merge_changes(
-                    changes, self.pk_cols, op_col="op", delete_op="d",
-                    batch_id=batch_id,
-                    summary={"operation": "merge", "epoch": off.epoch + 1,
-                             "from_lsn": off.commit_lsn, "to_lsn": to_lsn},
-                )
-            self._write_lineage(flat, off.epoch + 1)
-            n_events = n_keys  # event count per key; full count in lineage
+            applied = self.target.merge_changes(
+                changes, self.pk_cols, op_col="op", delete_op="d",
+                batch_id=batch_id,
+                summary={"operation": "merge", "epoch": off.epoch + 1,
+                         "from_lsn": off.commit_lsn, "to_lsn": to_lsn},
+            )
+            if applied:  # otherwise no action ran; obs.get would block
+                n_events = obs.get["n_events"]
+                lineage_rows = self._lineage_rows(changes, off.epoch + 1)
+                n_keys = sum(r["event_count"] for r in lineage_rows)
+                self._save_lineage(lineage_rows)
         finally:
             changes.unpersist()
 
-        new_off = Offset(
-            commit_lsn=to_lsn, intent_seq=2**62, epoch=off.epoch + 1,
-            snapshot_completed=off.snapshot_completed, last_batch_id=batch_id,
-        )
-        self.checkpoint.write(new_off)
-        return BatchMetrics(new_off.epoch, off.commit_lsn, to_lsn, n_events,
+        if write_checkpoint:
+            new_off = Offset(
+                commit_lsn=to_lsn, intent_seq=2**62, epoch=off.epoch + 1,
+                snapshot_completed=off.snapshot_completed, last_batch_id=batch_id,
+            )
+            self.checkpoint.write(new_off)
+        return BatchMetrics(off.epoch + 1, off.commit_lsn, to_lsn, n_events,
                             n_keys, applied)
 
-    def _write_lineage(self, flat: DataFrame, epoch: int) -> None:
+    def _lineage_rows(self, flat: DataFrame, epoch: int) -> list:
         """Per-partition lineage: max applied LSN, counts, watermark (the
         reference's offset map + CAPMON counters, FIXTURES.md §3)."""
-        lin = (
+        return (
             flat.groupBy(F.spark_partition_id().alias("partition"))
             .agg(
                 F.max("commit_lsn").alias("max_applied_lsn"),
@@ -206,10 +244,39 @@ class CdcEngine:
                 F.lit(epoch).cast("long").alias("epoch"),
                 F.col("partition"),
                 "max_applied_lsn", "event_count", "watermark",
-                F.lit(datetime.datetime.now(datetime.timezone.utc)).alias("committed_at"),
             )
+            .collect()
         )
-        lin.write.mode("append").parquet(self.lineage_dir)
+
+    def _save_lineage(self, rows: list) -> None:
+        """Driver-side parquet append — the rows are already collected, so
+        spinning up a Spark job for ~#partitions rows would waste seconds
+        per micro-batch."""
+        if not rows:
+            return
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        table = pa.table(
+            {
+                "epoch": pa.array([r["epoch"] for r in rows], pa.int64()),
+                "partition": pa.array([r["partition"] for r in rows], pa.int32()),
+                "max_applied_lsn": pa.array(
+                    [r["max_applied_lsn"] for r in rows], pa.int64()),
+                "event_count": pa.array([r["event_count"] for r in rows], pa.int64()),
+                "watermark": pa.array(
+                    [r["watermark"] for r in rows], pa.timestamp("us")),
+                "committed_at": pa.array([now] * len(rows), pa.timestamp("us")),
+            }
+        )
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(self.lineage_dir, f"part-{uuid.uuid4().hex}.parquet"),
+        )
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_dir)
@@ -226,6 +293,7 @@ class CdcEngine:
         checkpoint write (the exactly-once crash window).
         """
         out: list[BatchMetrics] = []
+        prev_empty = False
         while True:
             off = self.checkpoint.read()
             hi = self.binlog.max_lsn()
@@ -233,16 +301,19 @@ class CdcEngine:
                 break  # T9: nothing new — idle heartbeat
             lo = off.commit_lsn
             if self.max_lsns_per_batch is not None:
-                # fast-forward over LSN gaps so bounded batches never scan
-                # empty ranges (the reference's idle sleep T9, but for holes)
-                nxt = self.binlog.min_lsn_after(lo)
-                if nxt is None:
-                    break
-                lo = max(lo, nxt - 1)
-                if lo > off.commit_lsn:
-                    off = Offset(commit_lsn=lo, intent_seq=-1, epoch=off.epoch,
-                                 snapshot_completed=off.snapshot_completed,
-                                 last_batch_id=off.last_batch_id)
+                if prev_empty:
+                    # fast-forward over an LSN gap so bounded batches don't
+                    # crawl empty ranges (reference idle sleep T9, for holes).
+                    # Probed only after an empty batch — contiguous logs
+                    # never pay for it.
+                    nxt = self.binlog.min_lsn_after(lo)
+                    if nxt is None:
+                        break
+                    lo = max(lo, nxt - 1)
+                    if lo > off.commit_lsn:
+                        off = Offset(commit_lsn=lo, intent_seq=-1, epoch=off.epoch,
+                                     snapshot_completed=off.snapshot_completed,
+                                     last_batch_id=off.last_batch_id)
                 hi = min(hi, lo + self.max_lsns_per_batch)
 
             # LSN-ordered schema-change checkpoints: split the batch at the
@@ -262,31 +333,15 @@ class CdcEngine:
 
             if crash_after_merge_epoch is not None and off.epoch + 1 == crash_after_merge_epoch:
                 # simulate: merge commits, checkpoint write never happens
-                self._apply_batch_without_checkpoint(off, hi)
+                self.apply_batch(off, hi, write_checkpoint=False)
                 raise SimulatedCrash(off.epoch + 1)
 
             m = self.apply_batch(off, hi)
+            prev_empty = m.events == 0
             out.append(m)
             if on_batch:
                 on_batch(m)
         return out
-
-    def _apply_batch_without_checkpoint(self, off: Offset, to_lsn: int) -> None:
-        payload_cols = self.payload_cols()
-        raw = self.binlog.read_range(off.commit_lsn, to_lsn)
-        raw = raw.where(F.col("table") == self.table)
-        raw = after_position(raw, off.commit_lsn, off.intent_seq)
-        raw = self._normalize_binlog(raw)
-        events = to_change_events(raw, self.pk_cols, payload_cols)
-        flat = flatten_events(events, self.pk_cols, payload_cols)
-        latest = latest_per_key(flat, self.pk_cols, ("commit_lsn", "intent_seq"),
-                                strategy=self.dedup_strategy)
-        changes = latest.select(*self.pk_cols, "op",
-                                *[c for c in payload_cols if c not in self.pk_cols])
-        self.target.merge_changes(
-            changes, self.pk_cols, op_col="op", delete_op="d",
-            batch_id=f"cdc-{self.table}-{off.commit_lsn}-{off.intent_seq}-{to_lsn}",
-        )
 
 
 class SimulatedCrash(RuntimeError):

@@ -35,13 +35,20 @@ def build_workload(spark, tmp, n_ops=4000, n_convs=200, **kw):
     return snap, binlog, src
 
 
-def test_replay_matches_oracle(spark, tmpdir_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["full", "fast"])
+def test_replay_matches_oracle(spark, tmpdir_path, mode):
+    """Both apply paths — canonical classify+pair ('full') and direct raw
+    apply ('fast') — must produce the identical final table."""
     snap, binlog, src = build_workload(spark, tmpdir_path)
     target = LakeTable.create(
-        spark, os.path.join(tmpdir_path, "target"), TRANSCRIPT_SCHEMA,
+        spark, os.path.join(tmpdir_path, f"target-{mode}"), TRANSCRIPT_SCHEMA,
         bucket_by="conv_id", n_buckets=16,
     )
-    eng = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckpt"))
+    eng = CdcEngine(spark, src, target, os.path.join(tmpdir_path, f"ckpt-{mode}"),
+                    classify_mode=mode)
 
     # snapshot phase: here the initial table is the source as-of LSN 0,
     # so stream from the beginning (binlog holds all post-snapshot changes).
