@@ -48,6 +48,9 @@ _DATA_DIR = "data"
 
 DEFAULT_N_BUCKETS = 64
 
+#: Per-row metadata columns of a versioned table (see ``create``).
+VERSION_META_COLS = ["__commit_lsn", "__intent_seq", "__deleted"]
+
 
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key: pmod(xxhash64(key), n)."""
@@ -85,7 +88,17 @@ class LakeTable:
         schema: T.StructType,
         bucket_by: str,
         n_buckets: int = DEFAULT_N_BUCKETS,
+        versioned: bool = False,
     ) -> "LakeTable":
+        """``versioned=True`` stores per-row ``__commit_lsn/__intent_seq/
+        __deleted`` metadata and makes MERGE **order-insensitive across
+        batches**: an older change arriving after a newer one (possible
+        when micro-batches come from a file stream that lists files out of
+        LSN order) loses the per-key argmax instead of clobbering the row,
+        and deletes persist as tombstone rows (filtered on read, removed
+        by ``vacuum_tombstones``) so they cannot be resurrected by late
+        older updates.  The unversioned default relies on the engine
+        feeding batches in LSN order (which ``CdcEngine`` guarantees)."""
         t = cls(spark, path)
         os.makedirs(os.path.join(t.path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
@@ -94,6 +107,7 @@ class LakeTable:
             "parent": None,
             "bucket_by": bucket_by,
             "n_buckets": n_buckets,
+            "versioned": versioned,
             "schema_versions": [
                 {"version": 0, "schema_json": schema.jsonValue(), "added": {}, "renamed": {}}
             ],
@@ -206,18 +220,33 @@ class LakeTable:
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, version: int | None = None, buckets: Iterable[int] | None = None) -> DataFrame:
+    def read(self, version: int | None = None, buckets: Iterable[int] | None = None,
+             raw: bool = False) -> DataFrame:
         """Read a snapshot (optionally only the given buckets).
 
         Files written under older schema versions are upgraded to the
         current schema: renames applied, added columns filled with their
         declared default — historized-schema reads as in
         ``Db2DatabaseSchema`` recovery.
+
+        On a versioned table, ``raw=True`` keeps tombstone rows and the
+        ``__commit_lsn/__intent_seq/__deleted`` metadata columns; the
+        default filters tombstones and returns only user columns.
         """
         m = self.manifest(version)
         svs = self.schema_versions(m)
         cur_ver = m["current_schema_version"]
         target = svs[cur_ver].struct
+        versioned = m.get("versioned", False)
+        meta_fields = (
+            [T.StructField("__commit_lsn", T.LongType(), True),
+             T.StructField("__intent_seq", T.LongType(), True),
+             T.StructField("__deleted", T.BooleanType(), True)]
+            if versioned else []
+        )
+        out_cols = [f.name for f in target.fields] + (
+            VERSION_META_COLS if versioned and raw else []
+        )
 
         want = None if buckets is None else {int(b) for b in buckets}
         by_schema: dict[int, list[str]] = {}
@@ -230,11 +259,14 @@ class LakeTable:
                 )
 
         if not by_schema:
-            return self.spark.createDataFrame([], target)
+            return self.spark.createDataFrame(
+                [], T.StructType(list(target.fields) + (meta_fields if raw else []))
+            )
 
         parts = []
         for sv, paths in sorted(by_schema.items()):
-            df = self.spark.read.schema(svs[sv].struct).parquet(*paths)
+            fschema = T.StructType(list(svs[sv].struct.fields) + meta_fields)
+            df = self.spark.read.schema(fschema).parquet(*paths)
             # upgrade sv -> cur_ver
             for step in range(sv + 1, cur_ver + 1):
                 for old, new in svs[step].renamed.items():
@@ -242,7 +274,9 @@ class LakeTable:
                 for name, default in svs[step].added.items():
                     ftype = next(f.dataType for f in svs[step].struct.fields if f.name == name)
                     df = df.withColumn(name, F.lit(default).cast(ftype))
-            parts.append(df.select([f.name for f in target.fields]))
+            if versioned and not raw:
+                df = df.where(~F.coalesce(F.col("__deleted"), F.lit(False)))
+            parts.append(df.select(out_cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -283,27 +317,44 @@ class LakeTable:
     def _with_bucket(self, df: DataFrame, m: dict) -> DataFrame:
         return df.withColumn("__bucket", bucket_expr(m["bucket_by"], m["n_buckets"]))
 
+    def _with_meta_defaults(self, df: DataFrame, m: dict,
+                            position: tuple[int, int] = (0, 0)) -> DataFrame:
+        if not m.get("versioned", False):
+            return df
+        return (
+            df.withColumn("__commit_lsn", F.lit(position[0]).cast("long"))
+            .withColumn("__intent_seq", F.lit(position[1]).cast("long"))
+            .withColumn("__deleted", F.lit(False))
+        )
+
     def overwrite(self, df: DataFrame, batch_id: str | None = None,
-                  summary: dict | None = None) -> None:
-        """Replace the table's contents (snapshot bulk load)."""
+                  summary: dict | None = None,
+                  position: tuple[int, int] = (0, 0)) -> None:
+        """Replace the table's contents (snapshot bulk load).
+
+        On a versioned table, rows are stamped with ``position`` (the
+        snapshot LSN) so later streamed changes compare correctly."""
         m = self.manifest()
         if batch_id is not None and batch_id in m["committed_batch_ids"]:
             return
         cols = [f.name for f in self.schema(m).fields]
+        out = self._with_meta_defaults(df.select(cols), m, position)
         files = self._write_files(
-            self._with_bucket(df.select(cols), m), m["current_schema_version"]
+            self._with_bucket(out, m), m["current_schema_version"]
         )
         m["files"] = {str(b): ents for b, ents in files.items()}
         self._commit_child(m, summary or {"operation": "overwrite"}, batch_id)
 
     def append(self, df: DataFrame, batch_id: str | None = None,
-               summary: dict | None = None) -> None:
+               summary: dict | None = None,
+               position: tuple[int, int] = (0, 0)) -> None:
         m = self.manifest()
         if batch_id is not None and batch_id in m["committed_batch_ids"]:
             return
         cols = [f.name for f in self.schema(m).fields]
+        out = self._with_meta_defaults(df.select(cols), m, position)
         new_files = self._write_files(
-            self._with_bucket(df.select(cols), m), m["current_schema_version"]
+            self._with_bucket(out, m), m["current_schema_version"]
         )
         files = {b: list(ents) for b, ents in m["files"].items()}
         for b, ents in new_files.items():
@@ -355,23 +406,50 @@ class LakeTable:
                                batch_id)
             return True
 
-        old = self._with_bucket(self.read(buckets=touched), m)
+        if m.get("versioned", False):
+            # Order-insensitive path: per-key argmax over (old rows ∪
+            # changes) on (__commit_lsn, __intent_seq); deletes become
+            # retained tombstone rows.  Safe under out-of-order batch
+            # delivery (e.g. a file-stream source), at the cost of
+            # storing tombstones until vacuum.
+            old = self._with_bucket(self.read(buckets=touched, raw=True), m)
+            incoming = ch.select(
+                *[F.col(k) for k in key_cols], F.col("__bucket"),
+                F.col("commit_lsn").alias("__commit_lsn"),
+                F.col("intent_seq").alias("__intent_seq"),
+                (F.col(op_col) == delete_op).alias("__deleted"),
+                *[F.col(c) for c in cols if c not in key_cols],
+            )
+            ordered_fields = (["__commit_lsn", "__intent_seq", "__deleted", "__bucket"]
+                              + [c for c in cols if c not in key_cols])
+            merged = (
+                old.select(*key_cols, *ordered_fields)
+                .unionByName(incoming.select(*key_cols, *ordered_fields))
+                .groupBy(*key_cols)
+                .agg(F.max(F.struct(*ordered_fields)).alias("__w"))
+                .select(*key_cols,
+                        *[F.col("__w")[c].alias(c) for c in ordered_fields])
+            )
+            new_rows = merged.select(*cols, *VERSION_META_COLS, "__bucket")
+        else:
+            old = self._with_bucket(self.read(buckets=touched), m)
 
-        keyed = ch.select(
-            *[F.col(k) for k in key_cols], F.col("__bucket"),
-            F.col(op_col).alias("__op"), *[F.col(c) for c in cols if c not in key_cols],
-        )
-        # Survivors: target rows whose key does NOT appear in the batch.
-        # ``changes`` carries ≤1 row per key (A4 dedup ran upstream), so no
-        # distinct is needed; AQE converts this to a broadcast anti-join
-        # when the key set is small.
-        survivors = old.join(
-            keyed.select(*key_cols), on=list(key_cols), how="left_anti"
-        )
-        upserts = keyed.where(F.col("__op") != delete_op).drop("__op")
-        new_rows = survivors.select(*cols, "__bucket").unionByName(
-            upserts.select(*cols, "__bucket")
-        )
+            keyed = ch.select(
+                *[F.col(k) for k in key_cols], F.col("__bucket"),
+                F.col(op_col).alias("__op"),
+                *[F.col(c) for c in cols if c not in key_cols],
+            )
+            # Survivors: target rows whose key does NOT appear in the batch.
+            # ``changes`` carries ≤1 row per key (A4 dedup ran upstream), so
+            # no distinct is needed; AQE converts this to a broadcast
+            # anti-join when the key set is small.
+            survivors = old.join(
+                keyed.select(*key_cols), on=list(key_cols), how="left_anti"
+            )
+            upserts = keyed.where(F.col("__op") != delete_op).drop("__op")
+            new_rows = survivors.select(*cols, "__bucket").unionByName(
+                upserts.select(*cols, "__bucket")
+            )
 
         new_files = self._write_files(new_rows, m["current_schema_version"])
         files = {b: list(ents) for b, ents in m["files"].items() if int(b) not in set(touched)}
@@ -382,6 +460,26 @@ class LakeTable:
             m, summary or {"operation": "merge", "touched_buckets": len(touched)}, batch_id
         )
         return True
+
+
+    def vacuum_tombstones(self, before_lsn: int) -> None:
+        """Physically drop tombstone rows older than ``before_lsn`` (safe
+        once no batch at an older position can still arrive — i.e. the
+        engine's checkpoint has passed it).  Rewrites every bucket."""
+        m = self.manifest()
+        if not m.get("versioned", False):
+            return
+        cols = [f.name for f in self.schema(m).fields]
+        kept = self.read(raw=True).where(
+            ~F.col("__deleted") | (F.col("__commit_lsn") >= before_lsn)
+        )
+        files = self._write_files(
+            self._with_bucket(kept, m).select(*cols, *VERSION_META_COLS, "__bucket"),
+            m["current_schema_version"],
+        )
+        m["files"] = {str(b): ents for b, ents in files.items()}
+        self._commit_child(m, {"operation": "vacuum-tombstones",
+                               "before_lsn": before_lsn})
 
 
 def _parse_type(dtype: str) -> T.DataType:

@@ -11,11 +11,15 @@ across keys.
 Two strategies:
 
 * ``agg`` (default): ``max_by(struct(payload), struct(commit_lsn,
-  intent_seq))`` — a hash aggregate with **map-side partial combine**, so a
+  intent_seq))`` — an aggregate with **map-side partial combine**, so a
   hot conversation (Zipf skew) is pre-reduced inside every input partition
   before the shuffle; the reduced rows per key that cross the wire are
   bounded by the partition count, not by the key's row count.  This is the
-  scale path mandated by the north_rule's skew handling.
+  scale path mandated by the north_rule's skew handling.  (Physically it
+  compiles to SortAggregate — struct-valued buffers can't use the hash
+  path — but the single exchange + ``partial_max_by`` is what matters;
+  benched ~3× faster than the window strategy.  Pinned by
+  tests/test_plans.py.)
 * ``window``: ``row_number() OVER (PARTITION BY pk ORDER BY pos DESC)=1``
   — the literal W3 rendering (``ZOsPlatform.java:30``); simple, but a hot
   key lands on one reducer.  Kept for parity testing and small batches.

@@ -1,0 +1,110 @@
+"""Versioned (order-insensitive) MERGE + Structured Streaming front-end."""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_connector_db2_spark.lake import LakeTable
+from debezium_connector_db2_spark.schemas import BINLOG_SCHEMA, PK_COLS, TRANSCRIPT_SCHEMA
+from debezium_connector_db2_spark.sources.binlog import BinlogSource
+from debezium_connector_db2_spark.sources.generator import (
+    generate_binlog,
+    generate_snapshot,
+    oracle_final_state,
+)
+from debezium_connector_db2_spark.streaming.stream import StreamingCdc
+
+from tests.conftest import assert_df_equal
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _row(lsn, seq, op, conv, turn, text):
+    return (lsn, seq, op, "transcripts", 0, conv, turn, "user", text, None, TS)
+
+
+def _changes(spark, rows):
+    df = spark.createDataFrame(rows, BINLOG_SCHEMA)
+    return df.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", "d").otherwise("c").alias("op"),
+        "commit_lsn", "intent_seq", "role", "text", "tool", "ts",
+    )
+
+
+def test_versioned_merge_out_of_order_batches(spark, tmpdir_path):
+    """Applying batch B2 (newer) before B1 (older) must converge to the
+    same state as in-order application — per-row version metadata wins."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4, versioned=True,
+    )
+    b1 = _changes(spark, [
+        _row(1, 0, "I", "a", 0, "v1"),
+        _row(2, 0, "I", "b", 0, "w1"),
+        _row(3, 0, "D", "c", 0, "gone"),
+    ])
+    b2 = _changes(spark, [
+        _row(10, 0, "U", "a", 0, "v2"),
+        _row(11, 0, "D", "b", 0, "w1"),
+        _row(12, 0, "I", "c", 0, "alive"),
+    ])
+    # newer batch first, older second
+    t.merge_changes(b2, PK_COLS, batch_id="b2")
+    t.merge_changes(b1, PK_COLS, batch_id="b1")
+
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got == {("a", 0): "v2", ("c", 0): "alive"}  # b deleted, c resurrected later
+
+    # tombstone rows retained physically until vacuum
+    raw = t.read(raw=True)
+    assert raw.where("__deleted").count() == 1
+    t.vacuum_tombstones(before_lsn=100)
+    assert t.read(raw=True).where("__deleted").count() == 0
+    got2 = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got2 == got
+
+
+def test_versioned_delete_not_resurrected_by_late_old_update(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t2"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2, versioned=True,
+    )
+    t.merge_changes(_changes(spark, [_row(5, 0, "D", "x", 0, "dead")]),
+                    PK_COLS, batch_id="del")
+    # a LATE, OLDER update must not resurrect the deleted key
+    t.merge_changes(_changes(spark, [_row(2, 0, "U", "x", 0, "zombie")]),
+                    PK_COLS, batch_id="late")
+    assert t.read().count() == 0
+
+
+def test_structured_streaming_replay(spark, tmpdir_path):
+    snap = generate_snapshot(spark, n_convs=50, turns_per_conv=8, seed=21)
+    binlog = generate_binlog(spark, n_ops=800, n_convs=50, turns_per_conv=8, seed=21)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "binlog"), bucket_size=20)
+    src.write(binlog)
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t3"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4, versioned=True,
+    )
+    t.overwrite(snap, batch_id="snapshot", position=(0, 0))
+
+    s = StreamingCdc(
+        spark, os.path.join(tmpdir_path, "binlog"), t,
+        os.path.join(tmpdir_path, "sckpt"),
+        max_files_per_trigger=3,  # force several micro-batches
+    )
+    s.run_available()
+
+    want = oracle_final_state(snap, binlog)
+    assert_df_equal(t.read(), want, PK_COLS)
+
+    # new files appear -> a second availableNow pass picks up only them
+    tail = generate_binlog(spark, n_ops=300, n_convs=50, turns_per_conv=8,
+                           seed=22, lsn_offset=5000)
+    src.write(tail)
+    s.run_available()
+    want2 = oracle_final_state(snap, binlog.unionByName(tail))
+    assert_df_equal(t.read(), want2, PK_COLS)
