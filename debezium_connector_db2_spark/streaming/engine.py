@@ -82,6 +82,7 @@ class CdcEngine:
         max_lsns_per_batch: int | None = None,
         schema_changes: Sequence[SchemaChange] = (),
         lineage_dir: str | None = None,
+        registry=None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -109,10 +110,12 @@ class CdcEngine:
         self.lineage_dir = lineage_dir or os.path.join(
             os.path.abspath(checkpoint_dir), "lineage"
         )
+        self.registry = registry
+        self._streaming_disabled = False
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
-    def snapshot_load(self, source: DataFrame) -> Offset:
+    def snapshot_load(self, source: DataFrame, mode: str = "initial") -> Offset:
         """Initial consistent snapshot -> bulk overwrite of the target.
 
         The caller passes a *pinned* source DataFrame (e.g. a lake-table
@@ -120,20 +123,49 @@ class CdcEngine:
         Spark analogue of the reference's isolation-level dance
         (``Db2SnapshotChangeEventSource.java:70-122``).  Streaming then
         starts from the current max binlog LSN.
+
+        ``mode`` mirrors the reference's snapshot modes
+        (``Db2ConnectorConfig.java:60-110``):
+
+        * ``initial``      — snapshot once; skip if already completed.
+        * ``initial_only`` — snapshot once; ``run_available`` then no-ops.
+        * ``no_data``      — record the offset at the current max LSN
+          without loading rows (schema/position only).
+        * ``always``       — re-snapshot on every start.
+        * ``when_needed``  — snapshot iff no completed checkpoint exists
+          (same trigger condition as a fresh ``initial``; kept distinct
+          for config parity).
         """
+        if mode not in ("initial", "initial_only", "no_data", "always",
+                        "when_needed"):
+            raise ValueError(f"unknown snapshot mode {mode!r}")
+        self._streaming_disabled = mode == "initial_only"
         off = self.checkpoint.read()
-        if off.snapshot_completed:
+        if off.snapshot_completed and mode in ("initial", "initial_only",
+                                               "when_needed"):
+            return off
+        if mode == "no_data":
+            snapshot_lsn = self.binlog.max_lsn() or 0
+            off = Offset(commit_lsn=snapshot_lsn, intent_seq=2**62, epoch=0,
+                         snapshot_completed=True, last_batch_id="no-data-snapshot")
+            self.checkpoint.write(off)
             return off
         snapshot_lsn = self.binlog.max_lsn() or 0
+        batch_id = "snapshot"
+        if mode == "always":
+            import uuid as _uuid
+
+            batch_id = f"snapshot-{_uuid.uuid4().hex[:8]}"
         self.target.overwrite(
-            source, batch_id="snapshot",
-            summary={"operation": "snapshot", "snapshot_lsn": snapshot_lsn},
+            source, batch_id=batch_id,
+            summary={"operation": "snapshot", "mode": mode,
+                     "snapshot_lsn": snapshot_lsn},
             # versioned targets: stamp rows at the snapshot position so a
             # replayed pre-snapshot change can never clobber them
             position=(snapshot_lsn, 2**62),
         )
         off = Offset(commit_lsn=snapshot_lsn, intent_seq=2**62, epoch=0,
-                     snapshot_completed=True, last_batch_id="snapshot")
+                     snapshot_completed=True, last_batch_id=batch_id)
         self.checkpoint.write(off)
         return off
 
@@ -223,6 +255,12 @@ class CdcEngine:
         raw = self.binlog.read_range(off.commit_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)           # F1
         raw = after_position(raw, off.commit_lsn, off.intent_seq)  # F2/F3
+        if self.registry is not None:
+            from debezium_connector_db2_spark.operators.filters import (
+                stop_lsn_filter,
+            )
+
+            raw = stop_lsn_filter(raw, self.registry.to_df(self.spark))  # F4
         raw = self._normalize_binlog(raw)
 
         # Align raw binlog columns to the current target schema: columns the
@@ -330,6 +368,71 @@ class CdcEngine:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_dir)
 
+    def heartbeat(self) -> None:
+        """T9: record an idle heartbeat in the lineage table (the
+        reference emits heartbeat records when no new LSN appears,
+        ``Db2StreamingChangeEventSource.java:147-152``)."""
+        off = self.checkpoint.read()
+        self._save_lineage([{
+            "epoch": off.epoch, "partition": -1,
+            "max_applied_lsn": off.commit_lsn, "event_count": 0,
+            "watermark": None,
+        }])
+
+    # -- event-feed export (the S11 Kafka-topic analogue) --------------------
+
+    def export_events(self, from_lsn: int, to_lsn: int,
+                      tombstones: bool = True) -> DataFrame:
+        """Canonical change-event feed for an LSN interval: the full
+        classify+pair path (J3/J4) producing c/u/d/r envelopes with
+        before/after images — what the reference publishes per-table to
+        Kafka.  ``tombstones=True`` adds a null-payload tombstone row
+        after every delete (op='t'), enabling downstream log compaction
+        (``Db2ConnectorIT.java:211-215``; off mirrors
+        ``tombstones.on.delete=false``)."""
+        payload_cols = self.payload_cols()
+        raw = self.binlog.read_range(from_lsn, to_lsn)
+        raw = raw.where(F.col("table") == self.table)
+        raw = self._normalize_binlog(raw)
+        events = to_change_events(raw, self.pk_cols, payload_cols)
+        if not tombstones:
+            return events
+        null_payload = F.lit(None).cast(events.schema["after"].dataType)
+        dup = F.when(
+            F.col("op") == "d",
+            F.array(
+                F.struct(F.col("op"), F.col("before"), F.col("after")),
+                F.struct(F.lit("t").alias("op"),
+                         null_payload.alias("before"),
+                         null_payload.alias("after")),
+            ),
+        ).otherwise(F.array(F.struct(F.col("op"), F.col("before"), F.col("after"))))
+        return (
+            events.select("commit_lsn", "intent_seq", "table", "schema_version",
+                          F.posexplode(dup).alias("pos", "e"))
+            .select("commit_lsn",
+                    (F.col("intent_seq") * 2 + F.col("pos")).alias("intent_seq"),
+                    F.col("e.op").alias("op"), "table", "schema_version",
+                    F.col("e.before").alias("before"),
+                    F.col("e.after").alias("after"))
+        )
+
+    def transaction_metadata(self, from_lsn: int, to_lsn: int) -> DataFrame:
+        """A3: per-transaction BEGIN/END metadata — total event count and
+        per-table counts, tx id = commit LSN
+        (``Db2EventMetadataProvider.java:49-58``,
+        ``TransactionMetadataIT.java:98-117``)."""
+        raw = self.binlog.read_range(from_lsn, to_lsn)
+        per_table = raw.groupBy("commit_lsn", "table").agg(
+            F.count(F.lit(1)).alias("table_event_count"))
+        totals = raw.groupBy("commit_lsn").agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min("intent_seq").alias("begin_seq"),
+            F.max("intent_seq").alias("end_seq"))
+        return totals.join(per_table, "commit_lsn").select(
+            F.col("commit_lsn").alias("tx_id"), "event_count",
+            "begin_seq", "end_seq", "table", "table_event_count")
+
     def run_available(
         self,
         on_batch: Callable[[BatchMetrics], Any] | None = None,
@@ -341,6 +444,8 @@ class CdcEngine:
         a test hook that simulates dying between the sink commit and the
         checkpoint write (the exactly-once crash window).
         """
+        if self._streaming_disabled:
+            return []  # snapshot mode 'initial_only'
         out: list[BatchMetrics] = []
         prev_empty = False
         while True:
