@@ -309,6 +309,68 @@ def q_cdc_replay_events(spark, sf_dir):
         "key", F.col("w.val").alias("val"))
 
 
+def q_cdc_lsn_hex_roundtrip(spark, sf_dir):
+    """C6: order-preserving hex codec for LSNs (Lsn.java:62-102)."""
+    from debezium_connector_db2_spark.functions.lsn import hex_to_lsn, lsn_to_hex
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        lsn_to_hex(F.col("event_id")).alias("lsn_hex"),
+        hex_to_lsn(lsn_to_hex(F.col("event_id"))).alias("lsn_back"),
+    )
+
+
+def q_cdc_reselect(spark, sf_dir):
+    """F8: reselect-columns post-processor — NULL slots in the batch are
+    refilled from current state."""
+    from debezium_connector_db2_spark.operators.reselect import reselect_columns
+
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.where(F.col("event_id") < 1000).select(
+        "event_id", F.col("user_id").alias("key"),
+        F.when(F.pmod(F.col("event_id"), 3) == 0, F.lit(None))
+        .otherwise(F.round("value", 6)).alias("val"),
+    )
+    current = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.round(F.avg("value"), 6).alias("val"))
+    return reselect_columns(batch, current, ["key"], ["val"]) \
+        .select("event_id", "key", F.round("val", 6).alias("val"))
+
+
+def q_cdc_event_feed_tombstones(spark, sf_dir):
+    """T5: delete events followed by null tombstone rows."""
+    cl = _classified(spark, sf_dir)
+    deletes = cl.where(F.col("opcode") == 1)
+    d_rows = deletes.select("commit_lsn", (F.col("intent_seq") * 2).alias("seq"),
+                            F.lit("d").alias("op"), "key")
+    t_rows = deletes.select("commit_lsn", (F.col("intent_seq") * 2 + 1).alias("seq"),
+                            F.lit("t").alias("op"),
+                            F.lit(None).cast("long").alias("key"))
+    return d_rows.unionByName(t_rows)
+
+
+def q_q5_local_supplier_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -445,6 +507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_masking": q_cdc_masking,
         "cdc_replay_events": q_cdc_replay_events,
+        "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
+        "cdc_reselect": q_cdc_reselect,
+        "cdc_event_feed_tombstones": q_cdc_event_feed_tombstones,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "events_windowed": q_events_windowed,
@@ -710,6 +776,45 @@ def oracle_sql() -> dict[str, str]:
                      max_by(val, commit_lsn * {TX_SIZE} + intent_seq) AS val
               FROM flat GROUP BY key)
             SELECT key, val FROM last WHERE eff_op != 'd'
+        """,
+        "cdc_lsn_hex_roundtrip": """
+            SELECT event_id,
+                   lpad(lower(to_hex(event_id)), 16, '0') AS lsn_hex,
+                   ('0x' || lpad(lower(to_hex(event_id)), 16, '0'))::BIGINT AS lsn_back
+            FROM events WHERE event_id < 200
+        """,
+        "cdc_reselect": """
+            WITH batch AS (
+              SELECT event_id, user_id AS key,
+                     CASE WHEN event_id % 3 = 0 THEN NULL
+                          ELSE round(value, 6) END AS val
+              FROM events WHERE event_id < 1000),
+            cur AS (
+              SELECT user_id AS key, round(avg(value), 6) AS cur_val
+              FROM events GROUP BY user_id)
+            SELECT event_id, key, round(coalesce(val, cur_val), 6) AS val
+            FROM batch LEFT JOIN cur USING (key)
+        """,
+        "cdc_event_feed_tombstones": f"""
+            WITH deletes AS (
+              SELECT commit_lsn, intent_seq, key
+              FROM ({_CLASSIFIED_SQL}) WHERE opcode = 1)
+            SELECT commit_lsn, intent_seq * 2 AS seq, 'd' AS op, key FROM deletes
+            UNION ALL
+            SELECT commit_lsn, intent_seq * 2 + 1 AS seq, 't' AS op,
+                   NULL::BIGINT AS key FROM deletes
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
