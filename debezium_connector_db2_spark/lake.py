@@ -462,6 +462,31 @@ class LakeTable:
         return True
 
 
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Rewrite buckets whose file count exceeds the threshold (appends
+        accumulate one file per commit; MERGE self-compacts because it
+        rewrites touched buckets).  Returns the number of buckets
+        compacted.  At cluster scale this is the background-maintenance
+        analogue of Iceberg's rewrite_data_files."""
+        m = self.manifest()
+        over = [int(b) for b, ents in m["files"].items()
+                if len(ents) > max_files_per_bucket]
+        if not over:
+            return 0
+        cols = [f.name for f in self.schema(m).fields]
+        extra = VERSION_META_COLS if m.get("versioned", False) else []
+        rows = self._with_bucket(
+            self.read(buckets=over, raw=m.get("versioned", False)), m
+        ).select(*cols, *extra, "__bucket")
+        new_files = self._write_files(rows, m["current_schema_version"])
+        files = {b: list(ents) for b, ents in m["files"].items()
+                 if int(b) not in set(over)}
+        for b, ents in new_files.items():
+            files[str(b)] = ents
+        m["files"] = files
+        self._commit_child(m, {"operation": "compact", "buckets": len(over)})
+        return len(over)
+
     def vacuum_tombstones(self, before_lsn: int) -> None:
         """Physically drop tombstone rows older than ``before_lsn`` (safe
         once no batch at an older position can still arrive — i.e. the

@@ -83,6 +83,7 @@ class CdcEngine:
         schema_changes: Sequence[SchemaChange] = (),
         lineage_dir: str | None = None,
         registry=None,
+        payload_transform: Callable[[DataFrame], DataFrame] | None = None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -111,6 +112,10 @@ class CdcEngine:
             os.path.abspath(checkpoint_dir), "lineage"
         )
         self.registry = registry
+        #: optional vectorized transform applied to the flat change rows
+        #: before dedup+merge — e.g. the F7 column mask/hash/truncate
+        #: transforms (operators/masking.py), the reference's SMT slot
+        self.payload_transform = payload_transform
         self._streaming_disabled = False
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
@@ -276,6 +281,8 @@ class CdcEngine:
                 F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("c")).alias("op"),
                 "table", "schema_version", *payload_cols,
             )
+        if self.payload_transform is not None:
+            flat = self.payload_transform(flat)          # F7 SMT slot
         obs = Observation(f"batch-{off.epoch + 1}")
         flat = flat.observe(
             obs,

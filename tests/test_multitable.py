@@ -1,0 +1,80 @@
+"""S4: multi-table change streams — one binlog, N capture feeds, each
+replayed into its own lake table (the reference opens N cursors and
+k-way-merges; here each engine's table filter prunes its slice)."""
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_connector_db2_spark.lake import LakeTable
+from debezium_connector_db2_spark.operators.masking import mask_hash
+from debezium_connector_db2_spark.schemas import BINLOG_SCHEMA, TRANSCRIPT_SCHEMA
+from debezium_connector_db2_spark.sources.binlog import BinlogSource
+from debezium_connector_db2_spark.streaming.engine import CdcEngine
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _row(lsn, seq, op, table, conv, turn, text):
+    return (lsn, seq, op, table, 0, conv, turn, "user", text, None, TS)
+
+
+def test_two_tables_one_binlog(spark, tmpdir_path):
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(1, 1, "I", "tableb", "b", 0, "b0"),
+        _row(2, 0, "U", "tablea", "a", 0, "a0-v2"),
+        _row(3, 0, "D", "tableb", "b", 0, "b0"),
+        _row(4, 0, "I", "tableb", "b", 1, "b1"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+
+    engines = {}
+    for name in ("tablea", "tableb"):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, name),
+                             TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+        engines[name] = CdcEngine(spark, src, t,
+                                  os.path.join(tmpdir_path, f"ck-{name}"),
+                                  table=name)
+    for eng in engines.values():
+        eng.run_available()
+
+    a = {(r.conv_id, r.turn_idx): r.text
+         for r in engines["tablea"].target.read().collect()}
+    b = {(r.conv_id, r.turn_idx): r.text
+         for r in engines["tableb"].target.read().collect()}
+    assert a == {("a", 0): "a0-v2"}
+    assert b == {("b", 1): "b1"}          # b0 deleted
+
+
+def test_payload_transform_masks_before_storage(spark, tmpdir_path):
+    rows = [_row(1, 0, "I", "transcripts", "c", 0, "secret-text")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(
+        spark, src, t, os.path.join(tmpdir_path, "ck"),
+        payload_transform=lambda df: mask_hash(df, "text", salt="s1"),
+    )
+    eng.run_available()
+    stored = t.read().collect()[0].text
+    import hashlib
+    assert stored == hashlib.sha256(b"s1secret-text").hexdigest()
+
+
+def test_compact_reduces_file_count(spark, tmpdir_path):
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    df = spark.createDataFrame([("c", 0, "user", "x", None, TS)], TRANSCRIPT_SCHEMA)
+    for i in range(4):
+        t.append(df.withColumn("turn_idx", F.lit(i)))
+    m = t.manifest()
+    assert any(len(ents) > 1 for ents in m["files"].values())
+    n = t.compact()
+    assert n >= 1
+    m2 = t.manifest()
+    assert all(len(ents) == 1 for ents in m2["files"].values())
+    assert t.read().count() == 4
