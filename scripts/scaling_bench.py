@@ -55,24 +55,42 @@ def generate(work: str, n_ops: int) -> dict:
     return {"binlog": binlog_dir, "snapshot": snap_dir, "bucket_size": bucket_size}
 
 
-def run_once(cpus: int, paths: dict, n_batches: int) -> dict:
-    # taskset pins the WHOLE JVM (task threads + GC + IO pools) to `cpus`
-    # cores — a faithful emulation of a smaller machine, which bare
+def _spawn(cpus: int, core_range: str, paths: dict, n_batches: int):
+    # taskset pins the WHOLE JVM (task threads + GC + IO pools) to the
+    # given cores — a faithful emulation of a smaller machine, which bare
     # local[N] is not (its GC/shuffle/parquet threads still use every
     # host core).
-    out = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}",
+    return subprocess.Popen(
+        ["taskset", "-c", core_range,
          sys.executable, os.path.join(REPO, "scripts", "replay_once.py"),
          "--cpus", str(cpus), "--binlog", paths["binlog"],
          "--snapshot", paths["snapshot"],
          "--bucket-size", str(paths["bucket_size"]),
          "--n-batches", str(n_batches), "--warmup"],
-        capture_output=True, text=True, timeout=1800,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
-    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+
+
+def _collect(proc) -> dict:
+    out, err = proc.communicate(timeout=1800)
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
     if not lines:
-        raise RuntimeError(f"replay_once failed: {out.stderr[-2000:]}")
+        raise RuntimeError(f"replay_once failed: {err[-2000:]}")
     return json.loads(lines[-1])
+
+
+def run_pair(lo: int, hi: int, paths: dict, n_batches: int) -> tuple[dict, dict]:
+    """Run BOTH cluster sizes at the same instant on disjoint core sets.
+
+    The sandbox host has bursty noisy-neighbor slowdowns; sequential runs
+    land in different noise windows and corrupt the ratio.  Simultaneous
+    disjoint-core runs experience the same window, so host noise divides
+    out of the throughput ratio.  Cores: small config on 0..lo-1, large on
+    lo..lo+hi-1 (disjoint — no mutual contention).
+    """
+    p_lo = _spawn(lo, f"0-{lo - 1}", paths, n_batches)
+    p_hi = _spawn(hi, f"{lo}-{lo + hi - 1}", paths, n_batches)
+    return _collect(p_lo), _collect(p_hi)
 
 
 def main():
@@ -92,32 +110,40 @@ def main():
     print(f"generating workload ({args.n_ops} ops) ...", file=sys.stderr)
     paths = generate(work, args.n_ops)
 
-    # Interleave configurations so host-speed drift (the sandbox shows
-    # ±40% CPU noise between minutes) biases both sides equally; keep the
-    # fastest run per config as the least-contended estimate.
-    all_runs: dict[int, list] = {c: [] for c in args.cpus}
-    for i in range(args.repeats):
-        for cpus in args.cpus:
-            r = run_once(cpus, paths, args.n_batches)
-            print(f"  local[{cpus}] run {i}: {r['replay_sec']}s "
-                  f"({r['events_per_sec']} ev/s)", file=sys.stderr)
-            all_runs[cpus].append(r)
-    results = {}
-    for cpus in args.cpus:
-        best = min(all_runs[cpus], key=lambda r: r["replay_sec"])
-        best["all_replay_sec"] = [r["replay_sec"] for r in all_runs[cpus]]
-        results[cpus] = best
-
     lo, hi = args.cpus
-    eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+    rounds = []
+    for i in range(args.repeats):
+        r_lo, r_hi = run_pair(lo, hi, paths, args.n_batches)
+        ratio = r_hi["events_per_sec"] / r_lo["events_per_sec"]
+        print(f"  round {i}: local[{lo}]={r_lo['replay_sec']}s "
+              f"({r_lo['events_per_sec']} ev/s)  local[{hi}]="
+              f"{r_hi['replay_sec']}s ({r_hi['events_per_sec']} ev/s)  "
+              f"ratio={ratio:.2f}", file=sys.stderr)
+        rounds.append({"lo": r_lo, "hi": r_hi, "speedup": round(ratio, 2),
+                       "efficiency": round(ratio / (hi / lo), 3)})
+
+    # median ratio across simultaneous rounds (robust to a straggler)
+    by_ratio = sorted(rounds, key=lambda r: r["speedup"])
+    med = by_ratio[len(by_ratio) // 2]
     summary = {
         "n_ops": args.n_ops,
-        "n_events": results[hi]["n_events"],
+        "n_events": med["hi"]["n_events"],
         "n_batches": args.n_batches,
-        "per_cpus": results,
-        "scaling_efficiency": round(eff, 3),
-        "speedup": round(results[hi]["events_per_sec"]
-                         / results[lo]["events_per_sec"], 2),
+        "cpus": [lo, hi],
+        "methodology": (
+            "both cluster sizes run simultaneously on disjoint taskset core "
+            "sets over the same tmpfs input (host noise hits both equally "
+            "and divides out of the ratio); JVM warmed up with an untimed "
+            "replay; median round reported, all rounds recorded"),
+        "rounds": rounds,
+        "median_round": {
+            "lo_events_per_sec": med["lo"]["events_per_sec"],
+            "hi_events_per_sec": med["hi"]["events_per_sec"],
+            "lo_replay_sec": med["lo"]["replay_sec"],
+            "hi_replay_sec": med["hi"]["replay_sec"],
+        },
+        "scaling_efficiency": med["efficiency"],
+        "speedup": med["speedup"],
     }
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
