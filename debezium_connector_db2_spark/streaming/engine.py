@@ -424,6 +424,27 @@ class CdcEngine:
                     F.col("e.after").alias("after"))
         )
 
+    def export_events_cloudevents(self, from_lsn: int, to_lsn: int,
+                                  source_name: str = "cdc-engine") -> DataFrame:
+        """S11 variant: the event feed as CloudEvents 1.0 JSON strings
+        (the reference's CloudEventsConverter output,
+        ``Db2ConnectorIT.java:874-909``)."""
+        ev = self.export_events(from_lsn, to_lsn, tombstones=False)
+        payload = F.to_json(F.struct("before", "after", "op",
+                                     "commit_lsn", "intent_seq"))
+        envelope = F.to_json(F.struct(
+            F.lit("1.0").alias("specversion"),
+            F.concat(F.lit(f"{source_name}:"), F.col("commit_lsn").cast("string"),
+                     F.lit(":"), F.col("intent_seq").cast("string")).alias("id"),
+            F.lit(f"/debezium/db2spark/{source_name}").alias("source"),
+            F.concat(F.lit("io.debezium.db2spark."), F.col("table"),
+                     F.lit(".ChangeEvent")).alias("type"),
+            F.lit("application/json").alias("datacontenttype"),
+            payload.alias("data"),
+        ))
+        return ev.select("commit_lsn", "intent_seq", "table",
+                         envelope.alias("cloudevent"))
+
     def transaction_metadata(self, from_lsn: int, to_lsn: int) -> DataFrame:
         """A3: per-transaction BEGIN/END metadata — total event count and
         per-table counts, tx id = commit LSN

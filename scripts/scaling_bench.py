@@ -93,12 +93,55 @@ def run_pair(lo: int, hi: int, paths: dict, n_batches: int) -> tuple[dict, dict]
     return _collect(p_lo), _collect(p_hi)
 
 
+def run_floors(args, paths, lo: int, hi: int):
+    """Quiet-window floors: alternate sequential runs of each config over
+    time; the minimum replay time per config estimates its uncontended
+    floor (the host's noise is bursty — given enough rounds each config
+    catches a quiet window).  Early-stops when both floors are stable."""
+    best = {lo: None, hi: None}
+    samples = {lo: [], hi: []}
+    stable = 0
+    for i in range(args.repeats):
+        improved = False
+        for cpus in (lo, hi):
+            r = _collect(_spawn(cpus, f"0-{cpus - 1}", paths, args.n_batches))
+            samples[cpus].append(r["replay_sec"])
+            if best[cpus] is None or r["replay_sec"] < best[cpus]["replay_sec"]:
+                best[cpus] = r
+                improved = True
+            print(f"  floors round {i} local[{cpus}]: {r['replay_sec']}s "
+                  f"(best {best[cpus]['replay_sec']}s)", file=sys.stderr)
+        stable = 0 if improved else stable + 1
+        if i >= 3 and stable >= 2:
+            break
+    ratio = best[hi]["events_per_sec"] / best[lo]["events_per_sec"]
+    summary = {
+        "n_ops": args.n_ops,
+        "n_events": best[hi]["n_events"],
+        "n_batches": args.n_batches,
+        "cpus": [lo, hi],
+        "methodology": (
+            "quiet-window floors: each cluster size ran repeatedly "
+            "(taskset-pinned cores, tmpfs input+shuffle, warmed JVM); the "
+            "fastest run per size estimates its uncontended floor on this "
+            "noisy shared host; all samples recorded"),
+        "samples_replay_sec": {str(k): v for k, v in samples.items()},
+        "floor": {str(k): best[k] for k in (lo, hi)},
+        "scaling_efficiency": round(ratio / (hi / lo), 3),
+        "speedup": round(ratio, 2),
+    }
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-ops", type=int, default=4_000_000)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n-batches", type=int, default=1)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--mode", choices=["pair", "floors"], default="pair")
     args = ap.parse_args()
 
     # tmpfs keeps the shared input at RAM speed for every configuration:
@@ -111,6 +154,14 @@ def main():
     paths = generate(work, args.n_ops)
 
     lo, hi = args.cpus
+    if args.mode == "floors":
+        try:
+            run_floors(args, paths, lo, hi)
+        finally:
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        return
     rounds = []
     for i in range(args.repeats):
         r_lo, r_hi = run_pair(lo, hi, paths, args.n_batches)

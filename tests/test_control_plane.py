@@ -132,6 +132,24 @@ def test_event_feed_tombstones_and_tx_metadata(spark, tmpdir_path):
     assert tx == {1: (1, 1), 2: (1, 1), 3: (2, 2)}
 
 
+def test_cloudevents_export(spark, tmpdir_path):
+    import json
+
+    rows = [_row(1, 0, "I", "a", 0, "x")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+                         bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    out = eng.export_events_cloudevents(0, 10).collect()
+    assert len(out) == 1
+    ce = json.loads(out[0].cloudevent)
+    assert ce["specversion"] == "1.0"
+    assert ce["type"] == "io.debezium.db2spark.transcripts.ChangeEvent"
+    data = json.loads(ce["data"])
+    assert data["op"] == "c" and data["after"]["text"] == "x"
+
+
 def test_reselect_columns(spark):
     batch = spark.createDataFrame(
         [("a", 0, None, "new-text"), ("b", 1, "keep", None)],
