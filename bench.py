@@ -99,31 +99,43 @@ def bench_cdc_replay(spark: SparkSession, n_ops: int, work_dir: str,
     gen_sec = time.time() - t0
     n_events = src.read().count()
 
-    target = LakeTable.create(
-        spark, os.path.join(work_dir, "target"), TRANSCRIPT_SCHEMA,
-        bucket_by="conv_id", n_buckets=max(CPUS * 2, 16),
-    )
-    eng = CdcEngine(
-        spark, src, target, os.path.join(work_dir, "ckpt"),
-        max_lsns_per_batch=max(n_lsns // n_batches, 1),
-    )
-    t0 = time.time()
-    target.overwrite(snap, batch_id="snapshot")
-    snap_sec = time.time() - t0
+    def one_replay(tag: str) -> dict:
+        target = LakeTable.create(
+            spark, os.path.join(work_dir, f"target-{tag}"), TRANSCRIPT_SCHEMA,
+            bucket_by="conv_id", n_buckets=max(CPUS * 2, 16),
+        )
+        eng = CdcEngine(
+            spark, src, target, os.path.join(work_dir, f"ckpt-{tag}"),
+            max_lsns_per_batch=max(n_lsns // n_batches, 1),
+        )
+        t0 = time.time()
+        target.overwrite(snap, batch_id="snapshot")
+        snap_sec = time.time() - t0
+        t0 = time.time()
+        batches = eng.run_available()
+        replay_sec = time.time() - t0
+        return {
+            "snapshot_sec": round(snap_sec, 2),
+            "replay_sec": round(replay_sec, 2),
+            "events_per_sec": round(n_events / replay_sec, 1),
+            "n_batches": len(batches),
+            "final_rows": target.read().count(),
+        }
 
-    t0 = time.time()
-    batches = eng.run_available()
-    replay_sec = time.time() - t0
-    final_rows = target.read().count()
-
+    # cold pass pays JVM/codegen warmup; the warm pass is the steady-state
+    # throughput a long-running ingest actually sustains (both reported)
+    cold = one_replay("cold")
+    warm = one_replay("warm")
     return {
         "n_change_events": n_events,
         "gen_sec": round(gen_sec, 2),
-        "snapshot_sec": round(snap_sec, 2),
-        "replay_sec": round(replay_sec, 2),
-        "events_per_sec": round(n_events / replay_sec, 1),
-        "n_batches": len(batches),
-        "final_rows": final_rows,
+        "snapshot_sec": warm["snapshot_sec"],
+        "replay_sec": warm["replay_sec"],
+        "events_per_sec": warm["events_per_sec"],
+        "n_batches": warm["n_batches"],
+        "final_rows": warm["final_rows"],
+        "cold_replay_sec": cold["replay_sec"],
+        "cold_events_per_sec": cold["events_per_sec"],
     }
 
 

@@ -375,6 +375,24 @@ class CdcEngine:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_dir)
 
+    def timestamp_of_lsn(self, commit_lsn: int):
+        """S9: commit LSN -> wall-clock instant (the reference's UOW
+        lookup with an LRU cache, ``Db2Connection.java:240-263``).  Our
+        events carry ``ts`` inline, so this is a pruned min() probe;
+        cached driver-side."""
+        if not hasattr(self, "_lsn_ts_cache"):
+            self._lsn_ts_cache = {}
+        if commit_lsn in self._lsn_ts_cache:
+            return self._lsn_ts_cache[commit_lsn]
+        row = (
+            self.binlog.read_range(commit_lsn, commit_lsn)
+            .agg(F.min("ts").alias("t")).collect()[0]
+        )
+        if len(self._lsn_ts_cache) > 100:   # bounded like the reference
+            self._lsn_ts_cache.clear()
+        self._lsn_ts_cache[commit_lsn] = row["t"]
+        return row["t"]
+
     def heartbeat(self) -> None:
         """T9: record an idle heartbeat in the lineage table (the
         reference emits heartbeat records when no new LSN appears,

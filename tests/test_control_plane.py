@@ -164,6 +164,18 @@ def test_reselect_columns(spark):
                    ("b", 1): ("keep", "cur-text2")}
 
 
+def test_timestamp_of_lsn(spark, tmpdir_path):
+    rows = [_row(1, 0, "I", "a", 0, "x"), _row(2, 0, "I", "a", 1, "y")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+                         bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    assert eng.timestamp_of_lsn(1) == TS
+    assert eng.timestamp_of_lsn(1) == TS  # cached path
+    assert eng.timestamp_of_lsn(99) is None
+
+
 def test_lsn_codecs(spark):
     df = spark.createDataFrame([(255,), (16,), (0,)], "lsn: long")
     out = df.select(
