@@ -81,6 +81,27 @@ def test_multi_batch_replay_matches_single_batch(spark, tmpdir_path):
     assert_df_equal(got, want, PK_COLS)
 
 
+def test_extreme_hot_key_skew(spark, tmpdir_path):
+    """north_rule skew handling: a heavily Zipf-skewed conversation
+    distribution (s=3.5 concentrates most events on a handful of convs)
+    must replay correctly through the map-side-combining dedup."""
+    snap, binlog, src = build_workload(spark, tmpdir_path, n_ops=3000,
+                                       n_convs=500, zipf_s=3.5)
+    from pyspark.sql import functions as F2
+    top = (binlog.groupBy("conv_id").count().orderBy(F2.desc("count")).first())
+    assert top["count"] > 300, "workload should actually be skewed"
+
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "tskew"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=8,
+    )
+    target.overwrite(snap, batch_id="snapshot")
+    eng = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckskew"),
+                    dedup_strategy="salted")
+    eng.run_available()
+    assert_df_equal(target.read(), oracle_final_state(snap, binlog), PK_COLS)
+
+
 def test_deletes_are_tombstoned(spark, tmpdir_path):
     """Keys whose last event is a delete are absent from the final table
     (``Db2ConnectorIT.java:104-158``)."""
