@@ -11,7 +11,11 @@ check.  Randomized pieces use the portable md5-60bit hash family
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# import-safe regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
