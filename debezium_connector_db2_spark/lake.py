@@ -183,9 +183,29 @@ class LakeTable:
         Existing rows observe ``default`` (the reference backfills parsed
         column defaults on schema-add, ``Db2DefaultValueConverter.java:96-229``);
         new data may still write NULL explicitly.
+
+        Idempotent: re-adding an existing column is a no-op.  The engine
+        replays DDL on restart when a crash lands between the DDL commit
+        and the next checkpoint write (the checkpoint still points before
+        the schema change's effective LSN); without this guard the replay
+        would commit a duplicate column and poison every later read.
+
+        ``default`` may be a typed literal or a Db2 special-register
+        string (``CURRENT DATE`` / ``CURRENT TIME`` / ``CURRENT
+        TIMESTAMP``) or quoted literal, parsed with the reference's rules
+        (``Db2DefaultValueConverter.java:96-229``) via
+        functions/defaults.py.
         """
         m = self.manifest()
         cur = self.schema(m)
+        if any(f.name == name for f in cur.fields):
+            return
+        if isinstance(default, str):
+            from debezium_connector_db2_spark.functions.defaults import (
+                parse_default_value,
+            )
+
+            default = parse_default_value(dtype, default)
         new_schema = T.StructType(list(cur.fields) + [T.StructField(name, _parse_type(dtype), True)])
         ver = m["current_schema_version"] + 1
         m["schema_versions"].append(
@@ -196,8 +216,18 @@ class LakeTable:
         self._commit_child(m, {"operation": "add-column", "column": name})
 
     def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN (metadata-only).  Idempotent like ``add_column``:
+        if ``old`` is gone and ``new`` exists, the rename already applied
+        (DDL replay after a crash-before-checkpoint) and this is a no-op."""
         m = self.manifest()
         cur = self.schema(m)
+        names = [f.name for f in cur.fields]
+        if old not in names:
+            if new in names:
+                return
+            raise ValueError(f"rename source column {old!r} does not exist")
+        if new in names:
+            raise ValueError(f"rename target column {new!r} already exists")
         new_schema = T.StructType(
             [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
              for f in cur.fields]
@@ -210,12 +240,20 @@ class LakeTable:
         m["current_schema_version"] = ver
         self._commit_child(m, {"operation": "rename-column", "from": old, "to": new})
 
+    #: Recent-batch-id window carried in each manifest.  A replayed batch
+    #: can only re-present positions at or after the engine checkpoint, so
+    #: ids older than the last N commits can never be offered again —
+    #: keeping the full history would grow every child manifest linearly
+    #: per commit (quadratic cumulative I/O over a long-running stream).
+    MAX_BATCH_IDS = 512
+
     def _commit_child(self, mutated: dict, summary: dict, batch_id: str | None = None) -> None:
         mutated["parent"] = mutated["version"]
         mutated["version"] = mutated["version"] + 1
         mutated["summary"] = summary
         if batch_id is not None:
-            mutated["committed_batch_ids"] = mutated["committed_batch_ids"] + [batch_id]
+            ids = mutated["committed_batch_ids"] + [batch_id]
+            mutated["committed_batch_ids"] = ids[-self.MAX_BATCH_IDS:]
         self._write_manifest(mutated)
 
     # -- read ---------------------------------------------------------------
@@ -516,4 +554,6 @@ def _parse_type(dtype: str) -> T.DataType:
     }
     if dtype in mapping:
         return mapping[dtype]
+    if dtype.lower().startswith("char("):
+        return T.StringType()  # CHAR stored as padded string (C8 semantics)
     return T._parse_datatype_string(dtype)  # decimals etc.

@@ -106,8 +106,19 @@ class CdcEngine:
         #: renames applied so far: old binlog column -> current target column
         #: (the old capture instance keeps writing the old name until its
         #: stop LSN; reads normalize it, Db2StreamingChangeEventSource
-        #: migrateTable analogue)
+        #: migrateTable analogue).  Rebuilt from the lake manifest's
+        #: historized schema_versions at init — renames applied by a
+        #: *previous* process must keep normalizing old-instance rows
+        #: after a restart, the way the reference recovers rename history
+        #: from its persisted schema-history topic
+        #: (``Db2DatabaseSchema.java:30-77`` recovery).
         self.binlog_renames: dict[str, str] = {}
+        for sv in self.target.schema_versions():
+            for old, new in sv.renamed.items():
+                for k, v in list(self.binlog_renames.items()):
+                    if v == old:           # compose chains: a->b then b->c
+                        self.binlog_renames[k] = new
+                self.binlog_renames[old] = new
         self.lineage_dir = lineage_dir or os.path.join(
             os.path.abspath(checkpoint_dir), "lineage"
         )
@@ -270,7 +281,12 @@ class CdcEngine:
 
         # Align raw binlog columns to the current target schema: columns the
         # binlog doesn't carry yet (pre-evolution events in a post-evolution
-        # read) are filled as NULL by the parquet reader already.
+        # read) are filled as NULL by the parquet reader when the source
+        # schema declares them; columns the source schema never declares
+        # (e.g. a target-only ADD COLUMN) are filled here.
+        for f in self.target.schema().fields:
+            if f.name not in raw.columns:
+                raw = raw.withColumn(f.name, F.lit(None).cast(f.dataType))
         if self.classify_mode == "full":
             events = to_change_events(raw, self.pk_cols, payload_cols)
             flat = flatten_events(events, self.pk_cols, payload_cols)

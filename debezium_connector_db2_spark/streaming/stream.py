@@ -60,6 +60,31 @@ class StreamingCdc:
         self.max_files_per_trigger = max_files_per_trigger
         self.schema = schema or BINLOG_SCHEMA
 
+    def _run_id(self) -> str:
+        """Stable per-checkpoint identity namespacing sink batch ids.
+
+        Spark epoch ids restart at 0 when the streaming checkpoint is
+        deleted or a new query points at the same lake table; a bare
+        ``stream-{epoch}`` id would then silently no-op fresh batches as
+        already committed.  The id lives *inside* the checkpoint dir, so
+        deleting the checkpoint (the reset case) rotates it.
+        """
+        import os
+        import uuid
+
+        path = os.path.join(self.checkpoint_dir, "lake-run-id")
+        if os.path.exists(path):
+            with open(path) as f:
+                return f.read().strip()
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        rid = uuid.uuid4().hex[:12]
+        tmp = f"{path}.{rid}.tmp"
+        with open(tmp, "w") as f:
+            f.write(rid)
+        os.rename(tmp, path)
+        with open(path) as f:       # racing writer: first rename wins
+            return f.read().strip()
+
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:
         payload_cols = [f.name for f in self.target.schema().fields]
         flat = batch.where(F.col("table") == self.table).select(
@@ -70,7 +95,7 @@ class StreamingCdc:
         latest = latest_per_key(flat, self.pk_cols, ("commit_lsn", "intent_seq"))
         self.target.merge_changes(
             latest, self.pk_cols, op_col="op", delete_op="d",
-            batch_id=f"stream-{epoch_id}",
+            batch_id=f"stream-{self._run_id()}-{epoch_id}",
             summary={"operation": "stream-merge", "epoch": epoch_id},
         )
 

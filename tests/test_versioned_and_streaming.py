@@ -108,3 +108,30 @@ def test_structured_streaming_replay(spark, tmpdir_path):
     s.run_available()
     want2 = oracle_final_state(snap, binlog.unionByName(tail))
     assert_df_equal(t.read(), want2, PK_COLS)
+
+
+def test_streaming_checkpoint_reset_does_not_lose_batches(spark, tmpdir_path):
+    """Deleting the streaming checkpoint restarts Spark epoch ids at 0; the
+    sink batch id is namespaced per checkpoint identity, so the reprocessed
+    epochs must NOT silently no-op against ids committed by the old run."""
+    import shutil
+
+    rows1 = [_row(1, 0, "I", "a", 0, "v1")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(_px(spark, rows1))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                         n_buckets=2, versioned=True)
+    ck = os.path.join(tmpdir_path, "sck")
+    StreamingCdc(spark, os.path.join(tmpdir_path, "bl"), t, ck).run_available()
+    assert {r.text for r in t.read().collect()} == {"v1"}
+
+    # checkpoint reset + new data: epoch ids restart at 0
+    shutil.rmtree(ck)
+    src.write(_px(spark, [_row(2, 0, "U", "a", 0, "v2")]))
+    StreamingCdc(spark, os.path.join(tmpdir_path, "bl"), t, ck).run_available()
+    assert {r.text for r in t.read().collect()} == {"v2"}
+
+
+def _px(spark, rows):
+    return spark.createDataFrame(rows, BINLOG_SCHEMA)
