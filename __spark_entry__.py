@@ -445,10 +445,19 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+#: Document-frequency cap on shingles in the graded near-dup query: the
+#: skew guard that keeps the inverted-index self-join linear (a single
+#: stop-shingle otherwise makes it quadratic in its posting-list length).
+#: Binds at sf0.01 already (max shingle df there is 48), so the green
+#: CORRECTNESS row certifies the *guarded* plan; the oracle mirrors the
+#: same predicate.
+NGRAM_MAX_SHINGLE_DF = 30
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.2,
-                                  max_shingle_df=None)
+                                  max_shingle_df=NGRAM_MAX_SHINGLE_DF)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -458,8 +467,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    # 60-bit fingerprint, 4 pigeonhole chunks of 15 bits, capped buckets —
+    # the corpus-scale-safe shape (candidates ~ n/2^15 per chunk bucket)
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, "doc_id", "text", n_bits=24, max_hamming=1)
+    return DD.simhash_pairs(docs, "doc_id", "text", n_bits=60, max_hamming=3,
+                            max_bucket_size=400)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -555,7 +567,14 @@ _NQ = ("sqrt(list_sum(list_transform(range(1, 65),"
 _COS_SQL = f"{_DOT} / ({_NI} * {_NQ})"
 
 
-def _simhash_sql(n_bits: int = 24, max_hamming: int = 1) -> str:
+def _simhash_sql(n_bits: int = 60, max_hamming: int = 3,
+                 max_bucket_size: int = 400) -> str:
+    """Mirror of ``simhash_pairs`` including the pigeonhole candidate
+    generation and the bucket-size cap, so the green row certifies the
+    scale-safe plan (not an all-pairs shortcut)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
     bit_sums = ",\n                   ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
         for i in range(n_bits)
@@ -571,11 +590,21 @@ def _simhash_sql(n_bits: int = 24, max_hamming: int = 1) -> str:
           FROM documents),
         hs AS (SELECT doc_id, {h} AS h FROM toks),
         sums AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id),
-        fp AS (SELECT doc_id, {fp} AS simhash FROM sums)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+        chunks AS (
+          SELECT doc_id, simhash, t.c AS chunk,
+                 (simhash >> (t.c * {chunk_bits})) & {mask} AS cval
+          FROM fp, range(0, {n_chunks}) t(c)),
+        kept AS (
+          SELECT * FROM chunks
+          QUALIFY count(*) OVER (PARTITION BY chunk, cval) <= {max_bucket_size}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.simhash AS ha, y.simhash AS hb
+          FROM kept x JOIN kept y USING (chunk, cval)
+          WHERE x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """
 
 
@@ -868,8 +897,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"SELECT doc_id, {fpq} AS fp FROM documents",
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
+            WITH sh0 AS (
               SELECT doc_id, unnest({sh2}) AS shingle FROM documents),
+            -- same document-frequency skew guard as the Spark plan
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              QUALIFY count(*) OVER (PARTITION BY shingle)
+                      <= {NGRAM_MAX_SHINGLE_DF}),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -898,7 +932,7 @@ def oracle_sql() -> dict[str, str]:
                           % 60000)::INT - 1, 0) + 1, 5000)) AS BIGINT) AS frame_ts_ms
             FROM documents WHERE doc_id < 50
         """,
-        "dedup_simhash": _simhash_sql(24, 1),
+        "dedup_simhash": _simhash_sql(60, 3, 400),
         "dedup_minhash_lsh": _minhash_sql(8, 4, 0.2),
         "ann_lsh_topk": _lsh_ann_sql(64, 5, 6, 7),
         "ann_cosine_topk": f"""

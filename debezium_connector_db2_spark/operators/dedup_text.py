@@ -176,7 +176,7 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint: sign of per-bit sums of token-hash bits."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -197,7 +197,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str,
-    n_bits: int = 16, max_hamming: int = 3,
+    n_bits: int = 60, max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming``.
 
@@ -205,23 +207,55 @@ def simhash_pairs(
     any pair within distance d <= max_hamming agrees exactly on >=1 chunk,
     so candidates are found with equi-joins on (chunk_id, chunk_value) —
     never a cross join.
+
+    Scale shape: with the 60-bit fingerprint and max_hamming=3 each chunk
+    carries 15 bits (32K values), so random non-dup collisions per bucket
+    stay ~n/2^15 per chunk.  ``max_bucket_size`` is the skew guard for
+    *genuinely* hot buckets (e.g. thousands of identical boilerplate
+    docs): buckets over the cap are excluded from candidate generation,
+    which only misses pairs whose *every* agreeing chunk is over-hot.
+    Not a silent cap — pass ``drop_stats={}`` to have the dropped-bucket
+    summary computed (one small aggregation job, result bounded by the
+    number of hot buckets), logged, and filled in; or call
+    ``oversized_chunk_buckets`` for the full list.
     """
     fps = simhash(df, id_col, text_col, n_bits)
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
     chunks = []
     for c in range(n_chunks):
-        mask = ((1 << chunk_bits) - 1) << (c * chunk_bits)
         chunks.append(
             fps.select(
                 "doc_id", "simhash",
                 F.lit(c).alias("chunk"),
-                F.col("simhash").bitwiseAND(F.lit(mask)).alias("cval"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cval"),
             )
         )
     cdf = chunks[0]
     for c in chunks[1:]:
         cdf = cdf.unionByName(c)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        n_in_bucket = F.count(F.lit(1)).over(
+            Window.partitionBy("chunk", "cval"))
+        cdf = (cdf.withColumn("__bn", n_in_bucket)
+               .where(F.col("__bn") <= max_bucket_size).drop("__bn"))
+        if drop_stats is not None:
+            import logging
+
+            over = (oversized_chunk_buckets(
+                df, id_col, text_col, n_bits, max_hamming, max_bucket_size)
+                .agg(F.count(F.lit(1)).alias("b"),
+                     F.sum("n_docs").alias("r")).collect()[0])
+            drop_stats["dropped_buckets"] = over["b"]
+            drop_stats["dropped_rows"] = over["r"] or 0
+            if over["b"]:
+                logging.getLogger(__name__).warning(
+                    "simhash_pairs: %d chunk buckets over cap %d excluded "
+                    "(%d doc-chunk rows)", over["b"], max_bucket_size,
+                    over["r"])
     cand = (
         cdf.alias("x").join(cdf.alias("y"), ["chunk", "cval"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -238,4 +272,30 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def oversized_chunk_buckets(
+    df: DataFrame, id_col: str, text_col: str,
+    n_bits: int = 60, max_hamming: int = 3, max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Diagnostic companion to ``simhash_pairs``: the (chunk, cval)
+    buckets the cap would exclude, with their sizes — the "logged drops"
+    half of the no-silent-caps rule."""
+    fps = simhash(df, id_col, text_col, n_bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = n_bits // n_chunks
+    parts = []
+    for c in range(n_chunks):
+        parts.append(fps.select(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cval"),
+        ))
+    cdf = parts[0]
+    for p in parts[1:]:
+        cdf = cdf.unionByName(p)
+    return (
+        cdf.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
     )

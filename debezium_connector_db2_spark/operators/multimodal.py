@@ -57,8 +57,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str, int]:
     )
 
 
-def decode_media(df: DataFrame, decode_stub: str = "deterministic") -> DataFrame:
-    """Extract metadata from payloads via Arrow-batched ``mapInPandas``."""
+def decode_media_native(df: DataFrame) -> DataFrame:
+    """JVM fast-path of the deterministic decode stub: the stub's metadata
+    is a pure function of ``md5(payload)``, so it is expressible as native
+    codegen'd columns — no Python, no Arrow transfer.  Bit-identical to
+    ``decode_media(..., "deterministic")`` (pinned by test); real codecs
+    still go through the Arrow slot."""
+    md5 = F.md5(F.col("payload"))
+    h60 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    return df.select(
+        "media_id", "kind", "payload",
+        (F.pmod(h60, F.lit(1920)) + 1).cast("int").alias("meta_width"),
+        (F.pmod(F.shiftright(h60, 16), F.lit(1080)) + 1).cast("int").alias("meta_height"),
+        F.pmod(F.shiftright(h60, 32), F.lit(60000)).cast("int").alias("meta_duration_ms"),
+        md5.alias("payload_md5"),
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_media(df: DataFrame, decode_stub: str = "deterministic",
+                 native: bool = True) -> DataFrame:
+    """Extract metadata from payloads.
+
+    ``decode_stub="deterministic"`` with ``native=True`` (default) runs
+    entirely JVM-side (``decode_media_native``); ``native=False`` routes
+    the same stub through the Arrow-batched ``mapInPandas`` slot — the
+    path a real codec (``decode_stub="raise"`` plug point) must take."""
+    if decode_stub == "deterministic" and native:
+        return decode_media_native(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,84 @@
+"""Scale guards on the near-dup operators: the shingle df-cap must bound
+the inverted-index self-join under stop-shingle skew, and the simhash
+bucket cap must bound candidate generation under boilerplate clusters —
+with the drops observable (no silent caps)."""
+
+from pyspark.sql import functions as F
+
+from debezium_connector_db2_spark.operators import dedup_text as DD
+from debezium_connector_db2_spark.operators.multimodal import (
+    decode_media,
+    to_media,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_ngram_df_cap_bounds_candidates_under_stop_shingle(spark):
+    """Every doc shares one stop-phrase; without the cap the candidate set
+    is all n*(n-1)/2 pairs, with it only genuinely-similar docs pair."""
+    n = 60
+    stop = "the quick brown fox"
+    rows = [(i, f"{stop} unique{i} tail{i} word{i}") for i in range(n)]
+    # two real near-dups sharing their distinctive tail
+    rows[1] = (1, f"{stop} unique0 tail0 word0 extra")
+    docs = _docs(spark, rows)
+
+    sh = DD._shingled(docs, "doc_id", "text", 2)
+    capped = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
+                                    threshold=0.1, max_shingle_df=10)
+    got = capped.collect()
+    # the stop-phrase shingles (df=n) are excluded: candidates come only
+    # from the distinctive tails -> exactly the one real near-dup pair
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+
+    # candidate-join cardinality stays bounded by the cap, not by n²:
+    rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") <= 10))
+    sh_k = sh.join(rare.select("shingle"), "shingle")
+    n_cand = (sh_k.alias("a").join(sh_k.alias("b"), "shingle")
+              .where(F.col("a.doc_id") < F.col("b.doc_id")).count())
+    assert n_cand < n * 4, f"candidate join not bounded: {n_cand}"
+
+
+def test_simhash_bucket_cap_logs_drops(spark):
+    """A boilerplate cluster (identical docs) lands in one chunk bucket;
+    the cap excludes it from candidate generation and reports the drop."""
+    boiler = [(i, "copy paste boilerplate text exactly") for i in range(50)]
+    distinct = [(100 + i, f"genuinely different document number {i} "
+                          f"with words {i * 7} {i * 13}") for i in range(5)]
+    docs = _docs(spark, boiler + distinct)
+
+    stats = {}
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", n_bits=60, max_hamming=3,
+                             max_bucket_size=10, drop_stats=stats)
+    got = pairs.collect()
+    # the 50-identical cluster (50*49/2 = 1225 pairs) is excluded
+    assert all(r.doc_a >= 100 or r.doc_b >= 100 for r in got) or got == []
+    assert stats["dropped_buckets"] == 4       # one hot bucket per chunk
+    assert stats["dropped_rows"] == 50 * 4
+    over = DD.oversized_chunk_buckets(docs, "doc_id", "text", n_bits=60,
+                                      max_hamming=3, max_bucket_size=10)
+    assert over.count() == 4  # one hot bucket per chunk
+
+
+def test_simhash_uncapped_still_finds_near_dups(spark):
+    a = "spark streaming merge window shuffle partition skew salt"
+    rows = [(0, a), (1, a + " extra"), (2, "totally different words here now")]
+    pairs = DD.simhash_pairs(_docs(spark, rows), "doc_id", "text",
+                             n_bits=60, max_hamming=10, max_bucket_size=None)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_media_native_matches_arrow_path(spark):
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("text"),
+    )
+    media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    native = decode_media(media, native=True).orderBy("media_id").collect()
+    arrow = decode_media(media, native=False).orderBy("media_id").collect()
+    assert [tuple(r) for r in native] == [tuple(r) for r in arrow]
