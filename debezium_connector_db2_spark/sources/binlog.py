@@ -67,26 +67,44 @@ class BinlogSource:
     def min_lsn_after(self, lsn: int) -> int | None:
         """Smallest commit_lsn strictly greater than ``lsn`` — lets the
         engine fast-forward over LSN gaps instead of scanning empty
-        micro-batch ranges.  Prunes to the lowest candidate bucket."""
+        micro-batch ranges.
+
+        One pruned scan over a geometrically widening window of candidate
+        buckets (1, then 4, 16, …), never a job per bucket: the first probe
+        covers the position's own bucket (which may hold only rows ≤ lsn),
+        and because every *later* nonempty bucket only holds rows > lsn,
+        the second probe succeeds whenever any data exists — ≤2 jobs on a
+        contiguous-or-gapped log, O(log #buckets) worst case.
+        """
         if not os.path.exists(self.path):
             return None
-        buckets = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.path)
-            if d.startswith(f"{LSN_BUCKET_COL}=")
-        )
         lo_b = lsn // self.bucket_size
-        for b in buckets:
-            if b < lo_b:
-                continue
+        cands = sorted(
+            b for b in (
+                int(d.split("=", 1)[1])
+                for d in os.listdir(self.path)
+                if d.startswith(f"{LSN_BUCKET_COL}=")
+            )
+            if b >= lo_b
+        )
+        #: scan-count instrumentation (regression-pinned by tests — each
+        #: probe is one Spark query; AQE may split a query into >1 job)
+        self.last_probe_scans = 0
+        i, k = 0, 1
+        while i < len(cands):
+            window = cands[i:i + k]
+            self.last_probe_scans += 1
             row = (
                 self.read()
-                .where((F.col(LSN_BUCKET_COL) == b) & (F.col("commit_lsn") > lsn))
+                .where(F.col(LSN_BUCKET_COL).isin(window)
+                       & (F.col("commit_lsn") > lsn))
                 .agg(F.min("commit_lsn").alias("m"))
                 .collect()[0]
             )
             if row["m"] is not None:
                 return row["m"]
+            i += k
+            k *= 4
         return None
 
     def max_lsn(self) -> int | None:
