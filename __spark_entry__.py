@@ -354,6 +354,87 @@ def q_cdc_event_feed_tombstones(spark, sf_dir):
     return d_rows.unionByName(t_rows)
 
 
+def q_cdc_tx_feed(spark, sf_dir):
+    """A3 as an ordered stream: BEGIN / data / END records interleaved per
+    transaction, END carrying the event count
+    (``TransactionMetadataIT.java:64-119``; engine path:
+    ``CdcEngine.export_events(transaction_markers=True)``)."""
+    cap = _capture(spark, sf_dir).where(F.col("commit_lsn") <= 100)
+    data = cap.select(
+        "commit_lsn", F.col("intent_seq").alias("seq"),
+        F.lit("ev").alias("rec"), F.col("key").cast("long").alias("key"),
+        F.lit(None).cast("long").alias("event_count"),
+    )
+    per = cap.groupBy("commit_lsn").agg(F.count(F.lit(1)).alias("n"))
+    nul = F.lit(None).cast("long")
+
+    def marker(rec, seq, count):
+        return per.select(
+            "commit_lsn", F.lit(seq).cast("long").alias("seq"),
+            F.lit(rec).alias("rec"), nul.alias("key"),
+            count.alias("event_count"),
+        )
+
+    return (data.unionByName(marker("begin", -1, nul))
+            .unionByName(marker("end", 9999, F.col("n"))))
+
+
+def q_cdc_signal_snapshot(spark, sf_dir):
+    """T8 signal-driven chunked snapshot semantics as a query: snapshot
+    rows (stamped at position (0,0), hash-chunked like
+    ``CdcEngine.incremental_snapshot``) merged with streamed changes under
+    last-writer-wins — streamed rows newer than the snapshot stamp win,
+    per-key, regardless of chunk interleaving."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
+    n = cust.count()
+    snap_rows = cust.select(
+        "key", "val",
+        F.lit(0).cast("long").alias("pos_lsn"),
+        F.lit(0).cast("long").alias("pos_seq"),
+        F.lit("r").alias("op"),
+    )
+    cap = _capture(spark, sf_dir).withColumn(
+        "key", F.pmod(F.col("key"), F.lit(n)) + 1)
+    ev_rows = cap.select(
+        "key", F.round("val", 2).alias("val"),
+        F.col("commit_lsn").alias("pos_lsn"),
+        F.col("intent_seq").alias("pos_seq"),
+        "op",
+    )
+    latest = (
+        snap_rows.unionByName(ev_rows)
+        .groupBy("key")
+        .agg(F.max_by(F.struct("op", "val"),
+                      F.struct("pos_lsn", "pos_seq")).alias("w"))
+        .where(F.col("w.op") != "D")
+    )
+    chunk = F.pmod(h60(F.concat(F.lit("ch:"), F.col("key").cast("string"))),
+                   F.lit(8))
+    return latest.select(
+        "key", chunk.cast("int").alias("chunk"),
+        F.col("w.val").alias("val"),
+        (F.col("w.op") == "r").alias("from_snapshot"),
+    )
+
+
+def q_cdc_nulls_last_order(spark, sf_dir):
+    """O5: Db2 NULLS-LAST ASC ordering made user-visible — top-50 by a
+    nullable measure; under Spark's default (nulls first) the NULL rows
+    would occupy the whole result."""
+    from debezium_connector_db2_spark.operators.filters import order_nulls_last
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.pmod(F.col("event_id"), 7) == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("value", 6)).alias("val"),
+    )
+    ranked = order_nulls_last(ev, "val", "event_id").limit(50)
+    return ranked.select("event_id", "val")
+
+
 def q_q5_local_supplier_volume(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -526,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
         "cdc_reselect": q_cdc_reselect,
         "cdc_event_feed_tombstones": q_cdc_event_feed_tombstones,
+        "cdc_tx_feed": q_cdc_tx_feed,
+        "cdc_signal_snapshot": q_cdc_signal_snapshot,
+        "cdc_nulls_last_order": q_cdc_nulls_last_order,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
@@ -836,6 +920,55 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT commit_lsn, intent_seq * 2 + 1 AS seq, 't' AS op,
                    NULL::BIGINT AS key FROM deletes
+        """,
+        "cdc_tx_feed": f"""
+            WITH cap AS (
+              SELECT * FROM ({_CAPTURE_SQL}) WHERE commit_lsn <= 100),
+            per AS (SELECT commit_lsn, count(*) AS n FROM cap
+                    GROUP BY commit_lsn)
+            SELECT commit_lsn, intent_seq AS seq, 'ev' AS rec,
+                   key::BIGINT AS key, NULL::BIGINT AS event_count
+            FROM cap
+            UNION ALL
+            SELECT commit_lsn, -1::BIGINT, 'begin', NULL::BIGINT, NULL::BIGINT
+            FROM per
+            UNION ALL
+            SELECT commit_lsn, 9999::BIGINT, 'end', NULL::BIGINT, n FROM per
+        """,
+        "cdc_signal_snapshot": f"""
+            WITH cust AS (
+              SELECT c_custkey AS key, round(c_acctbal, 2) AS val
+              FROM customer),
+            n AS (SELECT count(*) AS n FROM customer),
+            snap AS (
+              SELECT key, val, 0::BIGINT AS pos_lsn, 0::BIGINT AS pos_seq,
+                     'r' AS op FROM cust),
+            cap AS (
+              SELECT (key % (SELECT n FROM n)) + 1 AS key,
+                     round(val, 2) AS val,
+                     commit_lsn AS pos_lsn, intent_seq AS pos_seq, op
+              FROM ({_CAPTURE_SQL})),
+            allr AS (SELECT * FROM snap UNION ALL SELECT * FROM cap),
+            -- snapshot stamp (0,0) < every streamed position; the scalar
+            -- pos encodes (pos_lsn, pos_seq) order (pos_seq < {TX_SIZE} < 16)
+            last AS (
+              SELECT key,
+                     max_by(op,  pos_lsn * 16 + pos_seq) AS op,
+                     max_by(val, pos_lsn * 16 + pos_seq) AS val
+              FROM allr GROUP BY key)
+            SELECT key,
+                   ({h60_sql("'ch:' || CAST(key AS VARCHAR)")} % 8)::INT
+                     AS chunk,
+                   val,
+                   (op = 'r') AS from_snapshot
+            FROM last WHERE op != 'D'
+        """,
+        "cdc_nulls_last_order": """
+            SELECT event_id,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE round(value, 6) END AS val
+            FROM events
+            ORDER BY val ASC NULLS LAST, event_id LIMIT 50
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

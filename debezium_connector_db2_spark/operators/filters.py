@@ -63,6 +63,13 @@ def project_payload(df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
     return df.select(*payload_cols)
 
 
+def order_nulls_last(df: DataFrame, *cols: str) -> DataFrame:
+    """O5: Db2 sorts NULLs *last* under ASC (``Db2Connection.java:460-465``)
+    while Spark's default ASC puts them first — make the Db2 semantics
+    explicit wherever ordering over nullable keys is user-visible."""
+    return df.orderBy(*[F.asc_nulls_last(c) for c in cols])
+
+
 def max_lsn(df: DataFrame) -> int | None:
     """S5: high-water-mark probe (``Db2Connection.java:108-116``)."""
     row = df.agg(F.max("commit_lsn").alias("m")).collect()[0]

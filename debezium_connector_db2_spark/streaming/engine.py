@@ -84,6 +84,9 @@ class CdcEngine:
         lineage_dir: str | None = None,
         registry=None,
         payload_transform: Callable[[DataFrame], DataFrame] | None = None,
+        signals=None,
+        snapshot_source: Callable[[], DataFrame] | None = None,
+        notifications=None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -128,6 +131,20 @@ class CdcEngine:
         #: transforms (operators/masking.py), the reference's SMT slot
         self.payload_transform = payload_transform
         self._streaming_disabled = False
+        #: signal channel polled at the top of every micro-batch iteration
+        #: (the reference's SignalProcessor, Db2ConnectorTask.java:142-147);
+        #: consumed-signal ids are tracked in the checkpoint dir so replays
+        #: after restart skip already-executed signals
+        self.signals = signals
+        #: provider of the *current* source-table contents, used by
+        #: signal-driven snapshots (incremental / blocking)
+        self.snapshot_source = snapshot_source
+        #: notification channel (NotificationService analogue)
+        self.notifications = notifications
+        self._signals_done_file = os.path.join(
+            os.path.abspath(checkpoint_dir), "signals_done.json")
+        self._pause_file = os.path.join(
+            os.path.abspath(checkpoint_dir), "paused")
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
@@ -159,12 +176,16 @@ class CdcEngine:
         off = self.checkpoint.read()
         if off.snapshot_completed and mode in ("initial", "initial_only",
                                                "when_needed"):
+            self._notify("Initial Snapshot", "SKIPPED", {"mode": mode})
             return off
+        self._notify("Initial Snapshot", "STARTED", {"mode": mode})
         if mode == "no_data":
             snapshot_lsn = self.binlog.max_lsn() or 0
             off = Offset(commit_lsn=snapshot_lsn, intent_seq=2**62, epoch=0,
                          snapshot_completed=True, last_batch_id="no-data-snapshot")
             self.checkpoint.write(off)
+            self._notify("Initial Snapshot", "COMPLETED",
+                         {"mode": mode, "snapshot_lsn": snapshot_lsn})
             return off
         snapshot_lsn = self.binlog.max_lsn() or 0
         batch_id = "snapshot"
@@ -183,6 +204,8 @@ class CdcEngine:
         off = Offset(commit_lsn=snapshot_lsn, intent_seq=2**62, epoch=0,
                      snapshot_completed=True, last_batch_id=batch_id)
         self.checkpoint.write(off)
+        self._notify("Initial Snapshot", "COMPLETED",
+                     {"mode": mode, "snapshot_lsn": snapshot_lsn})
         return off
 
     def incremental_snapshot(
@@ -213,6 +236,8 @@ class CdcEngine:
                              "(LakeTable.create(..., versioned=True))")
         pk0 = self.pk_cols[0]
         applied = 0
+        self._notify("Incremental Snapshot", "STARTED",
+                     {"table": self.table, "n_chunks": n_chunks})
         for i in range(n_chunks):
             chunk = source.where(
                 F.pmod(F.xxhash64(F.col(pk0)), F.lit(n_chunks)) == i
@@ -229,7 +254,114 @@ class CdcEngine:
                          "n_chunks": n_chunks},
             ):
                 applied += 1
+                self._notify("Incremental Snapshot", "IN_PROGRESS",
+                             {"table": self.table, "chunk": i,
+                              "n_chunks": n_chunks})
+        self._notify("Incremental Snapshot", "COMPLETED",
+                     {"table": self.table, "chunks_applied": applied})
         return applied
+
+    # -- notifications (NotificationService analogue) -------------------------
+
+    def _notify(self, aggregate_type: str, type: str, data: dict | None = None) -> None:
+        if self.notifications is not None:
+            self.notifications.emit(aggregate_type, type, data)
+
+    # -- signal channel (SignalProcessor analogue) ----------------------------
+
+    def paused(self) -> bool:
+        """Pause state is durable (a marker in the checkpoint dir): a
+        restarted engine stays paused until a resume signal arrives, like
+        the reference's pause/resume snapshot signals."""
+        return os.path.exists(self._pause_file)
+
+    def _set_paused(self, value: bool) -> None:
+        if value:
+            with open(self._pause_file, "w") as f:
+                f.write("1")
+        elif os.path.exists(self._pause_file):
+            os.remove(self._pause_file)
+
+    def _signals_done(self) -> set[str]:
+        import json
+
+        if not os.path.exists(self._signals_done_file):
+            return set()
+        with open(self._signals_done_file) as f:
+            return set(json.load(f))
+
+    def _mark_signal_done(self, done: set[str]) -> None:
+        import json
+        import uuid as _uuid
+
+        tmp = f"{self._signals_done_file}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done), f)
+        os.rename(tmp, self._signals_done_file)
+
+    def process_signals(self) -> int:
+        """Consume pending signals in send order; returns how many ran.
+
+        Executed at the top of every ``run_available`` iteration — the
+        Spark rendering of the reference's in-stream ``SignalProcessor``
+        (``Db2ConnectorTask.java:142-147``).  A signal is marked consumed
+        *after* it executes (at-least-once); replay after a crash is safe
+        because the actions are idempotent: incremental-snapshot chunks
+        carry deterministic batch ids, blocking snapshots overwrite, and
+        pause/resume are level- not edge-triggered.
+        """
+        if self.signals is None:
+            return 0
+        done = self._signals_done()
+        ran = 0
+        for sig in self.signals.poll():
+            if sig.id in done:
+                continue
+            self._handle_signal(sig)
+            done.add(sig.id)
+            self._mark_signal_done(done)
+            ran += 1
+        return ran
+
+    def _handle_signal(self, sig) -> None:
+        if sig.type == "execute-snapshot":
+            kind = sig.data.get("type", "incremental")
+            if self.snapshot_source is None:
+                raise ValueError(
+                    "execute-snapshot signal received but the engine has no "
+                    "snapshot_source provider")
+            source = self.snapshot_source()
+            if kind == "incremental":
+                off = self.checkpoint.read()
+                self.incremental_snapshot(
+                    source,
+                    n_chunks=int(sig.data.get("n_chunks", 16)),
+                    # watermark dedup: chunk rows are stamped at the current
+                    # stream position, so concurrently streamed newer
+                    # changes win regardless of interleaving (T8)
+                    position=(off.commit_lsn, 2**62),
+                )
+            elif kind == "blocking":
+                self._notify("Blocking Snapshot", "STARTED",
+                             {"table": self.table})
+                self.snapshot_load(source, mode="always")
+                self._notify("Blocking Snapshot", "COMPLETED",
+                             {"table": self.table})
+            else:
+                raise ValueError(f"unknown snapshot kind {kind!r}")
+        elif sig.type == "pause":
+            self._set_paused(True)
+            self._notify("Signal", "PAUSED", {"signal_id": sig.id})
+        elif sig.type == "resume":
+            self._set_paused(False)
+            self._notify("Signal", "RESUMED", {"signal_id": sig.id})
+        elif sig.type == "log":
+            self._notify("Log", "MESSAGE", sig.data)
+        else:
+            # unknown signal types are surfaced, not fatal (reference logs
+            # and skips unparseable signals)
+            self._notify("Signal", "UNKNOWN", {"signal_id": sig.id,
+                                               "signal_type": sig.type})
 
     # -- streaming phase -----------------------------------------------------
 
@@ -423,40 +555,73 @@ class CdcEngine:
     # -- event-feed export (the S11 Kafka-topic analogue) --------------------
 
     def export_events(self, from_lsn: int, to_lsn: int,
-                      tombstones: bool = True) -> DataFrame:
+                      tombstones: bool = True,
+                      transaction_markers: bool = False) -> DataFrame:
         """Canonical change-event feed for an LSN interval: the full
         classify+pair path (J3/J4) producing c/u/d/r envelopes with
         before/after images — what the reference publishes per-table to
         Kafka.  ``tombstones=True`` adds a null-payload tombstone row
         after every delete (op='t'), enabling downstream log compaction
         (``Db2ConnectorIT.java:211-215``; off mirrors
-        ``tombstones.on.delete=false``)."""
+        ``tombstones.on.delete=false``).
+
+        ``transaction_markers=True`` interleaves ordered per-transaction
+        BEGIN/END records in the feed (op='begin'/'end'; END carries the
+        transaction's data-event count) — the reference's
+        ``provide.transaction.metadata`` stream, asserted by
+        ``TransactionMetadataIT.java:64-119``.  BEGIN sorts before and END
+        after every data row of its commit_lsn (intent_seq -1 / 2^62)."""
         payload_cols = self.payload_cols()
         raw = self.binlog.read_range(from_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)
         raw = self._normalize_binlog(raw)
         events = to_change_events(raw, self.pk_cols, payload_cols)
-        if not tombstones:
-            return events
+        feed = events
+        if tombstones:
+            null_payload = F.lit(None).cast(events.schema["after"].dataType)
+            dup = F.when(
+                F.col("op") == "d",
+                F.array(
+                    F.struct(F.col("op"), F.col("before"), F.col("after")),
+                    F.struct(F.lit("t").alias("op"),
+                             null_payload.alias("before"),
+                             null_payload.alias("after")),
+                ),
+            ).otherwise(F.array(F.struct(F.col("op"), F.col("before"), F.col("after"))))
+            feed = (
+                events.select("commit_lsn", "intent_seq", "table", "schema_version",
+                              F.posexplode(dup).alias("pos", "e"))
+                .select("commit_lsn",
+                        (F.col("intent_seq") * 2 + F.col("pos")).alias("intent_seq"),
+                        F.col("e.op").alias("op"), "table", "schema_version",
+                        F.col("e.before").alias("before"),
+                        F.col("e.after").alias("after"))
+            )
+        if not transaction_markers:
+            return feed
+        # per-tx BEGIN/END, counting *data* events (tombstones excluded,
+        # as the reference counts dispatched change events)
+        data = feed.where(F.col("op") != "t")
+        feed = feed.withColumn("event_count", F.lit(None).cast("long"))
+        per_tx = data.groupBy("commit_lsn").agg(
+            F.count(F.lit(1)).alias("event_count"))
         null_payload = F.lit(None).cast(events.schema["after"].dataType)
-        dup = F.when(
-            F.col("op") == "d",
-            F.array(
-                F.struct(F.col("op"), F.col("before"), F.col("after")),
-                F.struct(F.lit("t").alias("op"),
-                         null_payload.alias("before"),
-                         null_payload.alias("after")),
-            ),
-        ).otherwise(F.array(F.struct(F.col("op"), F.col("before"), F.col("after"))))
-        return (
-            events.select("commit_lsn", "intent_seq", "table", "schema_version",
-                          F.posexplode(dup).alias("pos", "e"))
-            .select("commit_lsn",
-                    (F.col("intent_seq") * 2 + F.col("pos")).alias("intent_seq"),
-                    F.col("e.op").alias("op"), "table", "schema_version",
-                    F.col("e.before").alias("before"),
-                    F.col("e.after").alias("after"))
-        )
+
+        def marker(op: str, seq: int, count):
+            return per_tx.select(
+                "commit_lsn",
+                F.lit(seq).cast("long").alias("intent_seq"),
+                F.lit(op).alias("op"),
+                F.lit(None).cast("string").alias("table"),
+                F.lit(None).cast("int").alias("schema_version"),
+                null_payload.alias("before"),
+                null_payload.alias("after"),
+                count.alias("event_count"),
+            )
+
+        begin = marker("begin", -1, F.lit(None).cast("long"))
+        end = marker("end", 2 ** 62, F.col("event_count"))
+        return feed.unionByName(begin).unionByName(end)
 
     def export_events_cloudevents(self, from_lsn: int, to_lsn: int,
                                   source_name: str = "cdc-engine") -> DataFrame:
@@ -511,6 +676,10 @@ class CdcEngine:
         out: list[BatchMetrics] = []
         prev_empty = False
         while True:
+            # signals first — control actions interleave with batches (T7/T8)
+            self.process_signals()
+            if self.paused():
+                break
             off = self.checkpoint.read()
             hi = self.binlog.max_lsn()
             if hi is None or hi <= off.commit_lsn:
@@ -562,3 +731,42 @@ class CdcEngine:
 
 class SimulatedCrash(RuntimeError):
     """Raised by the crash-injection test hook."""
+
+
+def run_all_with_repair(
+    engines: dict[str, "CdcEngine"],
+    registry=None,
+    notifications=None,
+) -> dict[str, Any]:
+    """T10 error-driven capture repair across a set of per-table engines.
+
+    The reference prunes a capture instance whose table vanished (or whose
+    CDC function errors) from its query set on SQLException and keeps
+    streaming the rest (``Db2StreamingChangeEventSource.java:298-300,
+    338-348``).  Here each table is its own engine over its capture feed;
+    a failing table is deregistered from the shared registry, surfaced on
+    the notification channel, and the remaining tables complete.  Returns
+    ``{table: [BatchMetrics]}`` for healthy tables and ``{table:
+    Exception}`` for repaired ones.
+    """
+    import logging
+
+    results: dict[str, Any] = {}
+    for table, eng in engines.items():
+        try:
+            results[table] = eng.run_available()
+        except Exception as e:  # noqa: BLE001 — repair-and-continue path
+            if registry is not None:
+                try:
+                    registry.deregister_table(table)
+                except ValueError:
+                    pass  # not registered — nothing to prune
+            if notifications is not None:
+                notifications.emit(
+                    "Capture Repair", "DEREGISTERED",
+                    {"table": table, "error": str(e)[:500]})
+            logging.getLogger(__name__).warning(
+                "capture feed for %r failed (%s); deregistered, continuing "
+                "with remaining tables", table, type(e).__name__)
+            results[table] = e
+    return results
