@@ -435,6 +435,28 @@ def q_cdc_nulls_last_order(spark, sf_dir):
     return ranked.select("event_id", "val")
 
 
+def q_cdc_decimal_modes(spark, sf_dir):
+    """The three decimal.handling.mode renderings + the DECFLOAT
+    VariableScaleDecimal pair (``Db2ValueConverters.java:48-61, 84-116``;
+    ``DatatypesFromSnapshotIT.java:70-146``), flattened for hash compare."""
+    from debezium_connector_db2_spark.functions.decimals import (
+        decimal_column,
+        variable_scale_decimal,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    vs_scale, vs_unscaled = variable_scale_decimal(bal, 15, 2, as_struct=False)
+    return cust.select(
+        "c_custkey",
+        decimal_column(bal, 15, 2, "precise").alias("bal_precise"),
+        decimal_column(bal, 15, 2, "double").alias("bal_double"),
+        decimal_column(bal, 15, 2, "string").alias("bal_string"),
+        vs_scale.alias("vsd_scale"),
+        vs_unscaled.alias("vsd_unscaled"),
+    )
+
+
 def q_q5_local_supplier_volume(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -610,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tx_feed": q_cdc_tx_feed,
         "cdc_signal_snapshot": q_cdc_signal_snapshot,
         "cdc_nulls_last_order": q_cdc_nulls_last_order,
+        "cdc_decimal_modes": q_cdc_decimal_modes,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
@@ -969,6 +992,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(value, 6) END AS val
             FROM events
             ORDER BY val ASC NULLS LAST, event_id LIMIT 50
+        """,
+        "cdc_decimal_modes": """
+            SELECT c_custkey,
+                   round(c_acctbal, 2)::DECIMAL(15,2) AS bal_precise,
+                   round(c_acctbal, 2)::DECIMAL(15,2)::DOUBLE AS bal_double,
+                   round(c_acctbal, 2)::DECIMAL(15,2)::VARCHAR AS bal_string,
+                   2::INT AS vsd_scale,
+                   (round(c_acctbal, 2)::DECIMAL(15,2) * 100)::BIGINT
+                     AS vsd_unscaled
+            FROM customer
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

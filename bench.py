@@ -40,11 +40,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
     "ann_cosine_topk",
     "media_decode",
+]
+
+#: CDC end-to-end is measured at these multiples of the base op count —
+#: the second point shows how throughput trends as the log grows 4×
+#: (same warm/cold protocol at every point).
+SCALE_MULTS = [
+    float(m) for m in
+    os.environ.get("SPARK_GRAFT_SCALE_MULTS", "1,4").split(",") if m
 ]
 
 
@@ -63,6 +72,12 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-coalesce exchanges above cached plan fragments — the
+        # dedup operators cache their inverted index / signature tables,
+        # and without this every stage over them runs at the full static
+        # shuffle-partition count regardless of data size
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -161,7 +176,17 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="cdc-bench-")
     try:
-        cdc = bench_cdc_replay(spark, n_ops, work)
+        scale_points = []
+        cdc = None
+        for mult in SCALE_MULTS:
+            d = os.path.join(work, f"x{mult:g}")
+            os.makedirs(d, exist_ok=True)
+            point = bench_cdc_replay(spark, int(n_ops * mult), d)
+            point["ops_multiple"] = mult
+            scale_points.append(point)
+            if cdc is None:
+                cdc = point         # 1x = the round-comparable headline
+            shutil.rmtree(d, ignore_errors=True)
         queries = bench_queries(spark, SF_DIR)
         result = {
             "metric": "end-to-end change-events/sec applied (snapshot + "
@@ -172,6 +197,7 @@ def main():
             "sf": sf,
             "cpus": CPUS,
             "cdc_detail": cdc,
+            "scale_points": scale_points,
         }
         print(json.dumps(result))
     finally:

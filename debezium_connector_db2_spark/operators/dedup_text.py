@@ -71,6 +71,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    # the (filtered) inverted index feeds three consumers (sizes, both
+    # join sides) — materialize it once instead of re-shingling per branch
+    sh = sh.persist()
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -127,7 +130,14 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    # one shingle pass feeds the signatures AND the exact-verify stage
+    sh = _shingled(df, id_col, text_col, k_shingle).persist()
+    # the signature table feeds every band branch and both sides of the
+    # candidate self-join — cache it or the agg recomputes 2*bands times
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}")
+          for i in range(n_hashes)]
+    ).persist()
 
     band_rows = []
     for b in range(bands):
@@ -151,8 +161,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    sh = _shingled(df, id_col, text_col, k_shingle)
+    # exact verification of candidates only (reuses the cached index)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -177,22 +186,31 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> DataFrame:
-    """SimHash fingerprint: sign of per-bit sums of token-hash bits."""
+    """SimHash fingerprint: sign of per-bit sums of token-hash bits.
+
+    Shaped as (token, bit-index) explode → two map-side-combined aggs
+    rather than one n_bits-wide aggregate: the wide form generates
+    ~n_bits× more code (a multi-second JIT hit per fresh JVM) for the
+    same shuffle volume (n_bits values per doc either way), while the
+    explode's extra map-stage rows collapse in the partial aggregate
+    before ever hitting the wire.
+    """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", h60(F.col("tok")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(n_bits)
-    ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
-    fp = F.lit(0).cast("bigint")
-    for i in range(n_bits):
-        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sums.select("doc_id", fp.alias("simhash"))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i"),
+        F.col("h"),
+    ).select(
+        "doc_id", "i",
+        (F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) * 2 - 1).alias("pm"),
+    )
+    sums = bits.groupBy("doc_id", "i").agg(F.sum("pm").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, i)"))
+              .otherwise(F.lit(0))).alias("simhash"))
 
 
 def simhash_pairs(
@@ -219,7 +237,10 @@ def simhash_pairs(
     number of hot buckets), logged, and filled in; or call
     ``oversized_chunk_buckets`` for the full list.
     """
-    fps = simhash(df, id_col, text_col, n_bits)
+    # the fingerprint table feeds every chunk branch on both sides of the
+    # candidate self-join — cache it or the wide sign-sum agg recomputes
+    # 2*(max_hamming+1) times
+    fps = simhash(df, id_col, text_col, n_bits).persist()
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
     chunks = []
@@ -236,12 +257,13 @@ def simhash_pairs(
     for c in chunks[1:]:
         cdf = cdf.unionByName(c)
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        n_in_bucket = F.count(F.lit(1)).over(
-            Window.partitionBy("chunk", "cval"))
-        cdf = (cdf.withColumn("__bn", n_in_bucket)
-               .where(F.col("__bn") <= max_bucket_size).drop("__bn"))
+        # groupBy+semi-join instead of a window count: the per-bucket
+        # count table is tiny (≤ live buckets), AQE broadcasts it
+        keep = (cdf.groupBy("chunk", "cval")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .where(F.col("__bn") <= max_bucket_size)
+                .select("chunk", "cval"))
+        cdf = cdf.join(keep, ["chunk", "cval"], "left_semi")
         if drop_stats is not None:
             import logging
 
