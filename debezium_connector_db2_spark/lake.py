@@ -159,9 +159,44 @@ class LakeTable:
     def history(self) -> list[dict]:
         out = []
         for v in range(self.current_version() + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired by expire_snapshots
             out.append({"version": v, "summary": m["summary"]})
         return out
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """GC old versions: drop manifests older than the last
+        ``keep_last`` and delete data files referenced *only* by them —
+        Iceberg's ``expire_snapshots`` maintenance action.  A long-running
+        micro-batch stream commits once per batch; without expiry the
+        manifest dir and orphaned copy-on-write files grow forever.
+        Time travel remains available for the retained window."""
+        cur = self.current_version()
+        cutoff = max(0, cur - keep_last + 1)
+        keep_files: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            for ents in self.manifest(v)["files"].values():
+                keep_files.update(e["path"] for e in ents)
+        removed_files = removed_manifests = 0
+        for v in range(cutoff):
+            mpath = os.path.join(self.path, _MANIFEST_DIR, f"v{v}.json")
+            if not os.path.exists(mpath):
+                continue
+            for ents in self.manifest(v)["files"].values():
+                for e in ents:
+                    if e["path"] in keep_files:
+                        continue
+                    full = os.path.join(self.path, e["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_files += 1
+            os.remove(mpath)
+            removed_manifests += 1
+        return {"removed_manifests": removed_manifests,
+                "removed_files": removed_files,
+                "oldest_retained": cutoff}
 
     def has_batch(self, batch_id: str) -> bool:
         return batch_id in self.manifest()["committed_batch_ids"]

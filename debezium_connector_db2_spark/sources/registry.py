@@ -72,10 +72,18 @@ class CaptureRegistry:
                 e["state"] = "I"
         self._write(entries)
 
-    def switch_capture_instance(self, table: str, at_lsn: int) -> dict:
+    def switch_capture_instance(self, table: str, at_lsn: int,
+                                schema_change: dict | None = None) -> dict:
         """Schema-change switch: stop the active instance at ``at_lsn``
         and open a new one with schema_version+1 (the two-capture-table
-        dance of ``Db2StreamingChangeEventSource.java:374-389``)."""
+        dance of ``Db2StreamingChangeEventSource.java:374-389``).
+
+        ``schema_change`` optionally records the DDL the new instance
+        carries — ``{"action": "add_column"|"rename_column", "args":
+        {...}}``.  Engines watching the registry (S8) pick it up and apply
+        it at the switch LSN automatically, the way the reference builds
+        its migration from the new capture instance's metadata
+        (``Db2StreamingChangeEventSource.java:350-412``)."""
         entries = self._read()
         active = [e for e in entries
                   if e["table"] == table and e["state"] == "A"
@@ -91,6 +99,7 @@ class CaptureRegistry:
             "stop_lsn": None,
             "schema_version": old["schema_version"] + 1,
             "state": "A",
+            "schema_change": schema_change,
         }
         self._write(entries + [new])
         return new

@@ -145,6 +145,10 @@ class CdcEngine:
             os.path.abspath(checkpoint_dir), "signals_done.json")
         self._pause_file = os.path.join(
             os.path.abspath(checkpoint_dir), "paused")
+        #: registry capture-instance switches already applied this run
+        #: (in-memory only: re-deriving after a restart is safe because
+        #: DDL application is idempotent)
+        self._applied_switches: set[str] = set()
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
@@ -331,6 +335,12 @@ class CdcEngine:
                     "execute-snapshot signal received but the engine has no "
                     "snapshot_source provider")
             source = self.snapshot_source()
+            # the reference's additional-conditions: a SQL predicate
+            # restricting which rows the signal-driven snapshot re-reads
+            # (IncrementalSnapshotIT 'additional conditions' cases)
+            cond = sig.data.get("additional_conditions")
+            if cond:
+                source = source.where(cond)
             if kind == "incremental":
                 off = self.checkpoint.read()
                 self.incremental_snapshot(
@@ -701,19 +711,41 @@ class CdcEngine:
                                      last_batch_id=off.last_batch_id)
                 hi = min(hi, lo + self.max_lsns_per_batch)
 
+            # S8: new capture instances in the interval carry pending DDL —
+            # merge registry-derived switches with the configured ones (the
+            # reference rebuilds its table set + schema checkpoints from the
+            # registry, Db2StreamingChangeEventSource.java:165-174, 350-412)
+            registry_pending = []
+            if self.registry is not None:
+                for e in self.registry.new_instances_in(lo, hi + 1):
+                    sc = e.get("schema_change")
+                    if not sc or e["table"] != self.table:
+                        continue
+                    if e["capture_instance"] in self._applied_switches:
+                        continue
+                    registry_pending.append(
+                        (e["capture_instance"],
+                         SchemaChange(e["start_lsn"], sc["action"],
+                                      sc["args"])))
+
             # LSN-ordered schema-change checkpoints: split the batch at the
             # first pending switch inside the interval.
-            pending = [c for c in self.schema_changes
-                       if lo < c.effective_lsn <= hi + 1]
-            if pending and pending[0].effective_lsn <= hi:
-                sw = pending[0]
+            pending = [(None, c) for c in self.schema_changes
+                       if lo < c.effective_lsn <= hi + 1] + registry_pending
+            pending.sort(key=lambda p: p[1].effective_lsn)
+            if pending and pending[0][1].effective_lsn <= hi:
+                instance, sw = pending[0]
                 if sw.effective_lsn - 1 > lo:
                     m = self.apply_batch(off, sw.effective_lsn - 1)
                     out.append(m)
                     if on_batch:
                         on_batch(m)
                 self._apply_ddl(sw)
-                self.schema_changes = [c for c in self.schema_changes if c is not sw]
+                if instance is not None:
+                    self._applied_switches.add(instance)
+                else:
+                    self.schema_changes = [c for c in self.schema_changes
+                                           if c is not sw]
                 continue
 
             if crash_after_merge_epoch is not None and off.epoch + 1 == crash_after_merge_epoch:

@@ -129,6 +129,26 @@ def test_lake_ddl_idempotent_direct(spark, tmpdir_path):
         t.rename_column("text", "speaker")         # target collision
 
 
+def test_expire_snapshots_gc(spark, tmpdir_path):
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    df = spark.createDataFrame([("c", 0, "user", "x", None, TS)],
+                               TRANSCRIPT_SCHEMA)
+    for i in range(5):
+        t.overwrite(df.withColumn("text", __import__("pyspark.sql.functions",
+                                                     fromlist=["lit"]).lit(f"v{i}")),
+                    batch_id=f"o{i}")
+    n_manifests_before = len(os.listdir(os.path.join(t.path, "_manifests")))
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["removed_manifests"] >= 3
+    assert stats["removed_files"] >= 3     # overwrites orphan prior files
+    # current data intact, history readable for the retained window
+    assert t.read().collect()[0].text == "v4"
+    assert len(t.history()) == 2
+    assert len(os.listdir(os.path.join(t.path, "_manifests"))) \
+        < n_manifests_before
+
+
 def test_batch_id_window_bounded(spark, tmpdir_path, monkeypatch):
     monkeypatch.setattr(LakeTable, "MAX_BATCH_IDS", 4)
     t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),

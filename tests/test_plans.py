@@ -69,3 +69,45 @@ def test_dedup_agg_single_exchange(spark):
     # pre-reduced inside every input partition, so the rows crossing the
     # wire per key are bounded by the partition count.
     assert "partial_max_by" in plan, "expected map-side partial aggregation"
+
+
+def test_media_native_decode_stays_jvm_side(spark):
+    """The deterministic media decode must not contain a Python/Arrow
+    stage (the 50× fast path); the Arrow slot is opt-in."""
+    from debezium_connector_db2_spark.operators.multimodal import (
+        decode_media, to_media)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    native = decode_media(media)
+    assert "MapInPandas" not in formatted_plan(native)
+    arrow = decode_media(media, native=False)
+    assert "MapInPandas" in formatted_plan(arrow)
+
+
+def test_ngram_df_cap_is_an_aggregated_semi_filter(spark):
+    """The shingle df-cap must be a pre-aggregated filter on the shingle
+    key (map-side combined count), not a row-preserving window over the
+    full posting list."""
+    from debezium_connector_db2_spark.operators.dedup_text import (
+        ngram_jaccard_pairs)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
+                                threshold=0.2, max_shingle_df=30)
+    plan = formatted_plan(pairs)
+    assert "Window" not in plan, "df-cap must not be a window function"
+    assert "partial_count" in plan, "expected map-side combined df count"
+
+
+def test_simhash_bucket_cap_semi_join(spark):
+    """The bucket cap is a semi-join against a tiny aggregated count
+    table, never a window over the exploded chunk rows."""
+    from debezium_connector_db2_spark.operators.dedup_text import simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    pairs = simhash_pairs(docs, "doc_id", "text", n_bits=60, max_hamming=3,
+                          max_bucket_size=400)
+    plan = formatted_plan(pairs)
+    assert "Window" not in plan
+    assert "LeftSemi" in plan, plan[:2000]

@@ -59,6 +59,28 @@ def test_crash_between_merge_and_checkpoint(spark, tmpdir_path):
     assert len(ids) == len(set(ids)), f"duplicate batch ids: {ids}"
 
 
+@pytest.mark.parametrize("crash_epoch", [1, 3])
+def test_crash_sweep_every_epoch_converges(spark, tmpdir_path, crash_epoch):
+    """Exactly-once must hold no matter WHICH micro-batch the crash lands
+    after (first batch, mid-stream) — sweep the crash point."""
+    snap = generate_snapshot(spark, n_convs=40, turns_per_conv=6, seed=17)
+    binlog = generate_binlog(spark, n_ops=600, n_convs=40, turns_per_conv=6,
+                             seed=17, avg_tx_size=5)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "binlog"), bucket_size=32)
+    src.write(binlog)
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4,
+    )
+    target.overwrite(snap, batch_id="snapshot")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    eng = CdcEngine(spark, src, target, ckpt, max_lsns_per_batch=30)
+    with pytest.raises(SimulatedCrash):
+        eng.run_available(crash_after_merge_epoch=crash_epoch)
+    CdcEngine(spark, src, target, ckpt, max_lsns_per_batch=30).run_available()
+    assert_df_equal(target.read(), oracle_final_state(snap, binlog), PK_COLS)
+
+
 def test_rerun_after_completion_is_noop(spark, tmpdir_path):
     snap = generate_snapshot(spark, n_convs=30, turns_per_conv=5, seed=13)
     binlog = generate_binlog(spark, n_ops=300, n_convs=30, turns_per_conv=5, seed=13)
