@@ -25,13 +25,27 @@ from debezium_connector_db2_spark.schemas import (
     TRANSCRIPT_SCHEMA,
 )
 from debezium_connector_db2_spark.lake import LakeTable
-from debezium_connector_db2_spark.streaming.engine import CdcEngine
+from debezium_connector_db2_spark.sources.binlog import BinlogSource
+from debezium_connector_db2_spark.sources.registry import CaptureRegistry
+from debezium_connector_db2_spark.streaming.engine import (
+    CdcEngine,
+    SchemaChange,
+    run_all_with_repair,
+)
+from debezium_connector_db2_spark.streaming.notifications import NotificationLog
+from debezium_connector_db2_spark.streaming.signals import SignalChannel
 
 __all__ = [
     "BINLOG_SCHEMA",
     "TRANSCRIPT_SCHEMA",
     "LakeTable",
+    "BinlogSource",
+    "CaptureRegistry",
     "CdcEngine",
+    "SchemaChange",
+    "run_all_with_repair",
+    "NotificationLog",
+    "SignalChannel",
 ]
 
 __version__ = "0.1.0"

@@ -560,6 +560,30 @@ class LakeTable:
         self._commit_child(m, {"operation": "compact", "buckets": len(over)})
         return len(over)
 
+    def rebucket(self, n_buckets: int) -> None:
+        """Change the hash-bucket count (full rewrite, one commit).
+
+        Bucket count is the MERGE-parallelism / file-granularity knob: a
+        table created small (64 buckets) that grows to lake scale wants
+        more buckets so copy-on-write rewrites stay a bounded slice.
+        Iceberg evolves `bucket(N, col)` partition specs the same way —
+        new spec applies to rewritten data; here the single commit
+        rewrites everything (run in a quiet window, like any repartition
+        of a 100 TB table)."""
+        m = self.manifest()
+        if n_buckets == m["n_buckets"]:
+            return
+        cols = [f.name for f in self.schema(m).fields]
+        extra = VERSION_META_COLS if m.get("versioned", False) else []
+        rows = self.read(raw=m.get("versioned", False)).withColumn(
+            "__bucket", bucket_expr(m["bucket_by"], n_buckets)
+        ).select(*cols, *extra, "__bucket")
+        new_files = self._write_files(rows, m["current_schema_version"])
+        m["n_buckets"] = n_buckets
+        m["files"] = {str(b): ents for b, ents in new_files.items()}
+        self._commit_child(m, {"operation": "rebucket",
+                               "n_buckets": n_buckets})
+
     def vacuum_tombstones(self, before_lsn: int) -> None:
         """Physically drop tombstone rows older than ``before_lsn`` (safe
         once no batch at an older position can still arrive — i.e. the

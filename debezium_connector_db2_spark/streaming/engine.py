@@ -551,6 +551,22 @@ class CdcEngine:
         self._lsn_ts_cache[commit_lsn] = row["t"]
         return row["t"]
 
+    def maintain(self, compact_threshold: int = 4,
+                 expire_keep_last: int = 64) -> dict:
+        """Background table maintenance between micro-batches: compact
+        multi-file buckets, vacuum tombstones the checkpoint has passed
+        (no older batch can arrive → safe), expire old snapshots.  The
+        operational housekeeping a long-running 10^10-event ingest needs;
+        each piece is its own commit, so a crash mid-maintenance loses
+        nothing."""
+        off = self.checkpoint.read()
+        compacted = self.target.compact(max_files_per_bucket=compact_threshold)
+        if self.target.manifest().get("versioned", False):
+            self.target.vacuum_tombstones(before_lsn=off.commit_lsn)
+        stats = self.target.expire_snapshots(keep_last=expire_keep_last)
+        stats["compacted_buckets"] = compacted
+        return stats
+
     def heartbeat(self) -> None:
         """T9: record an idle heartbeat in the lineage table (the
         reference emits heartbeat records when no new LSN appears,

@@ -86,8 +86,25 @@ class StreamingCdc:
             return f.read().strip()
 
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:
-        payload_cols = [f.name for f in self.target.schema().fields]
-        flat = batch.where(F.col("table") == self.table).select(
+        """Per-micro-batch MERGE.  Schema alignment mirrors the engine's
+        ``_normalize_binlog``: renames recorded in the lake's historized
+        schema_versions map old capture-instance columns onto the current
+        names, and target-only columns fill as NULL."""
+        target_schema = self.target.schema()
+        payload_cols = [f.name for f in target_schema.fields]
+        flat = batch.where(F.col("table") == self.table)
+        for sv in self.target.schema_versions():
+            for old, new in sv.renamed.items():
+                cols = flat.columns
+                if old in cols and new in cols:
+                    flat = flat.withColumn(
+                        new, F.coalesce(F.col(new), F.col(old))).drop(old)
+                elif old in cols:
+                    flat = flat.withColumnRenamed(old, new)
+        for f in target_schema.fields:
+            if f.name not in flat.columns:
+                flat = flat.withColumn(f.name, F.lit(None).cast(f.dataType))
+        flat = flat.select(
             "commit_lsn", "intent_seq",
             F.when(F.col("op") == "D", F.lit("d")).otherwise(F.lit("c")).alias("op"),
             *payload_cols,

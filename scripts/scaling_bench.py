@@ -101,38 +101,64 @@ def run_floors(args, paths, lo: int, hi: int):
     best = {lo: None, hi: None}
     samples = {lo: [], hi: []}
     stable = 0
+    # resume floors from a previous (possibly interrupted) measurement of
+    # the same workload: the floor is a min over ALL recorded samples, so
+    # accumulating across invocations is the same estimator with more
+    # rounds — exactly what a bursty-noise host needs
+    prev_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        if prev.get("n_ops") == args.n_ops and prev.get("cpus") == [lo, hi] \
+                and prev.get("n_batches") == args.n_batches:
+            for cpus in (lo, hi):
+                samples[cpus] = list(prev["samples_replay_sec"][str(cpus)])
+                best[cpus] = prev["floor"][str(cpus)]
+            print(f"  resuming floors: {len(samples[lo])}+{len(samples[hi])} "
+                  f"prior samples", file=sys.stderr)
+
+    def write_summary() -> dict:
+        ratio = best[hi]["events_per_sec"] / best[lo]["events_per_sec"]
+        summary = {
+            "n_ops": args.n_ops,
+            "n_events": best[hi]["n_events"],
+            "n_batches": args.n_batches,
+            "cpus": [lo, hi],
+            "methodology": (
+                "quiet-window floors: each cluster size ran repeatedly "
+                "(taskset-pinned cores, tmpfs input+shuffle, warmed JVM); the "
+                "fastest run per size estimates its uncontended floor on this "
+                "noisy shared host; all samples recorded"),
+            "samples_replay_sec": {str(k): v for k, v in samples.items()},
+            "floor": {str(k): best[k] for k in (lo, hi)},
+            "scaling_efficiency": round(ratio / (hi / lo), 3),
+            "speedup": round(ratio, 2),
+        }
+        # written after every round so an interrupted run still leaves the
+        # best-so-far artifact
+        with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        return summary
+
+    summary = None
+    off = getattr(args, "core_offset", 0)
     for i in range(args.repeats):
         improved = False
         for cpus in (lo, hi):
-            r = _collect(_spawn(cpus, f"0-{cpus - 1}", paths, args.n_batches))
+            r = _collect(_spawn(cpus, f"{off}-{off + cpus - 1}", paths,
+                                args.n_batches))
             samples[cpus].append(r["replay_sec"])
             if best[cpus] is None or r["replay_sec"] < best[cpus]["replay_sec"]:
                 best[cpus] = r
                 improved = True
             print(f"  floors round {i} local[{cpus}]: {r['replay_sec']}s "
                   f"(best {best[cpus]['replay_sec']}s)", file=sys.stderr)
+        if best[lo] and best[hi]:
+            summary = write_summary()
         stable = 0 if improved else stable + 1
         if i >= 3 and stable >= 2:
             break
-    ratio = best[hi]["events_per_sec"] / best[lo]["events_per_sec"]
-    summary = {
-        "n_ops": args.n_ops,
-        "n_events": best[hi]["n_events"],
-        "n_batches": args.n_batches,
-        "cpus": [lo, hi],
-        "methodology": (
-            "quiet-window floors: each cluster size ran repeatedly "
-            "(taskset-pinned cores, tmpfs input+shuffle, warmed JVM); the "
-            "fastest run per size estimates its uncontended floor on this "
-            "noisy shared host; all samples recorded"),
-        "samples_replay_sec": {str(k): v for k, v in samples.items()},
-        "floor": {str(k): best[k] for k in (lo, hi)},
-        "scaling_efficiency": round(ratio / (hi / lo), 3),
-        "speedup": round(ratio, 2),
-    }
     print(json.dumps(summary, indent=2))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
-        json.dump(summary, f, indent=2)
 
 
 def main():
@@ -142,6 +168,9 @@ def main():
     ap.add_argument("--n-batches", type=int, default=1)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--mode", choices=["pair", "floors"], default="pair")
+    ap.add_argument("--core-offset", type=int, default=0,
+                    help="pin to cores [offset, offset+N) — lets floors "
+                         "runs dodge a statically-placed noisy neighbor")
     args = ap.parse_args()
 
     # tmpfs keeps the shared input at RAM speed for every configuration:
@@ -149,18 +178,30 @@ def main():
     # scales with the node count; a single shared cold disk would
     # artificially serialize the comparison.
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="cdc-scaling-", dir=base)
-    print(f"generating workload ({args.n_ops} ops) ...", file=sys.stderr)
-    paths = generate(work, args.n_ops)
+    # reuse a previously generated identical workload (floors resume runs
+    # this script repeatedly; the deterministic generator makes the cached
+    # copy byte-equivalent)
+    cache = os.path.join(base or tempfile.gettempdir(),
+                         f"cdc-scaling-cache-{args.n_ops}")
+    marker = os.path.join(cache, "_complete.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            paths = json.load(f)
+        print("reusing cached workload", file=sys.stderr)
+        work = None
+    else:
+        os.makedirs(cache, exist_ok=True)
+        work = cache
+        print(f"generating workload ({args.n_ops} ops) ...", file=sys.stderr)
+        paths = generate(work, args.n_ops)
+        with open(marker, "w") as f:
+            json.dump(paths, f)
 
     lo, hi = args.cpus
     if args.mode == "floors":
-        try:
-            run_floors(args, paths, lo, hi)
-        finally:
-            import shutil
-
-            shutil.rmtree(work, ignore_errors=True)
+        # the cached workload stays for the next resume pass (tmpfs:
+        # vanishes with the sandbox); nothing to clean up here
+        run_floors(args, paths, lo, hi)
         return
     rounds = []
     for i in range(args.repeats):
@@ -199,9 +240,12 @@ def main():
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    import shutil
+    if work is not None:
+        import shutil
 
-    shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
 
 
 if __name__ == "__main__":

@@ -135,3 +135,24 @@ def test_streaming_checkpoint_reset_does_not_lose_batches(spark, tmpdir_path):
 
 def _px(spark, rows):
     return spark.createDataFrame(rows, BINLOG_SCHEMA)
+
+
+def test_streaming_normalizes_renames_and_added_columns(spark, tmpdir_path):
+    """The Structured Streaming sink must apply the lake's historized
+    renames to old-capture-instance rows and NULL-fill target-only
+    columns, like the native engine path."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                         n_buckets=2, versioned=True)
+    t.rename_column("tool", "tool_name")
+    t.add_column("score", "double", default=0.5)
+
+    rows = [(1, 0, "I", "transcripts", 0, "a", 0, "user", "hello", "bash", TS)]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(_px(spark, rows))       # file still carries old column `tool`
+
+    StreamingCdc(spark, os.path.join(tmpdir_path, "bl"), t,
+                 os.path.join(tmpdir_path, "ck")).run_available()
+    row = t.read().collect()[0]
+    assert row.tool_name == "bash"
+    assert row.score is None          # explicit NULL from the new data
