@@ -577,6 +577,18 @@ def q_dedup_simhash(spark, sf_dir):
                             max_bucket_size=400)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Fifth dedup family: embedding-cosine near-dup pairs via sign-LSH
+    buckets + exact-cosine verification (never all-pairs).  The oracle
+    mirrors the full candidate pipeline, so the green row certifies the
+    scale shape; recall beyond the LSH buckets is the documented
+    tradeoff."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, "vec_id", "embedding", dim=64,
+                                        threshold=0.4, n_planes=4,
+                                        max_bucket_size=400)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
@@ -797,6 +810,62 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 6, seed: int = 7) ->
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, item_id ASC) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _embedding_dedup_sql(dim: int = 64, threshold: float = 0.4,
+                         n_planes: int = 4, seed: int = 7,
+                         max_bucket_size: int = 400) -> str:
+    """DuckDB mirror of ``embedding_near_dup_pairs`` including the LSH
+    candidate pipeline (buckets, multiprobe, bucket cap) — not an
+    all-pairs shortcut."""
+    def plane_list(p: int) -> str:
+        comp = h60_sql(f"'{seed}:p{p}:d' || CAST(d AS VARCHAR)")
+        return (f"list_transform(range(0, {dim}),"
+                f" d -> ({comp} % 2000001) / 1000000.0 - 1.0)")
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            dot = (f"list_sum(list_transform(range(1, {dim + 1}),"
+                   f" i -> CAST({vec}[i] AS DOUBLE) * (pl{p}[i])))")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    planes_cte = ", ".join(f"{plane_list(p)} AS pl{p}" for p in range(n_planes))
+    probes = ", ".join(
+        ["bucket0"] + [f"xor(bucket0, {1 << p})" for p in range(n_planes)]
+    )
+    cos = ("list_sum(list_transform(range(1, {d1}),"
+           " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+           " / (sqrt(list_sum(list_transform(range(1, {d1}),"
+           " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))"
+           " * sqrt(list_sum(list_transform(range(1, {d1}),"
+           " i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))"
+           ).format(d1=dim + 1)
+    return f"""
+        WITH planes AS (SELECT {planes_cte}),
+        v AS (
+          SELECT vec_id AS vid, embedding AS vec,
+                 {bucket_expr('embedding')} AS bucket0
+          FROM embeddings, planes),
+        keep AS (
+          SELECT bucket0 AS bucket FROM v GROUP BY bucket0
+          HAVING count(*) <= {max_bucket_size}),
+        a AS (
+          SELECT vid AS id_a, bucket0 AS bucket FROM v
+          WHERE bucket0 IN (SELECT bucket FROM keep)),
+        b AS (
+          SELECT vid AS id_b, unnest([{probes}]) AS bucket FROM v),
+        b2 AS (SELECT * FROM b WHERE bucket IN (SELECT bucket FROM keep)),
+        cand AS (
+          SELECT DISTINCT id_a, id_b
+          FROM a JOIN b2 USING (bucket) WHERE id_a < id_b)
+        SELECT id_a, id_b, round({cos}, 4) AS cos
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE round({cos}, 4) >= {threshold}
     """
 
 
@@ -1101,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(60, 3, 400),
         "dedup_minhash_lsh": _minhash_sql(8, 4, 0.2),
         "ann_lsh_topk": _lsh_ann_sql(64, 5, 6, 7),
+        "dedup_embedding_cosine": _embedding_dedup_sql(64, 0.4, 4, 7, 400),
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),

@@ -92,6 +92,51 @@ def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, seed: int = 7):
     return bucket
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, threshold: float = 0.9, n_planes: int = 8,
+    multiprobe_bits: int = 1, max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup family.
+
+    Scale shape: sign-LSH bucket each vector once, generate candidates by
+    bucket equi-join (one side multiprobed at Hamming≤1 so near-identical
+    vectors that straddle one hyperplane still meet), verify candidates
+    with the exact cosine, keep pairs ≥ ``threshold``.  Linear in corpus
+    size + candidate count; never an all-pairs cross join.
+    ``max_bucket_size`` caps degenerate buckets (e.g. millions of zero
+    vectors) the same way the simhash cap does.
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket0", lsh_bucket_expr(F.col("vec"), dim, n_planes))
+
+    a = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
+                 F.col("bucket0").alias("bucket"))
+    probes = [F.col("bucket0")]
+    if multiprobe_bits >= 1:
+        probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << p))
+                   for p in range(n_planes)]
+    b = (v.withColumn("bucket", F.explode(F.array(*probes)))
+         .select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
+                 "bucket"))
+    if max_bucket_size is not None:
+        keep = (a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") <= max_bucket_size).select("bucket"))
+        a = a.join(keep, "bucket", "left_semi")
+        b = b.join(keep, "bucket", "left_semi")
+    cand = (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct())
+    return (cand.withColumn("cos", F.round(cosine_expr(F.col("va"),
+                                                       F.col("vb")), 4))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
 def lsh_ann_topk(
     items: DataFrame, queries: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",

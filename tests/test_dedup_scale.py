@@ -73,6 +73,32 @@ def test_simhash_uncapped_still_finds_near_dups(spark):
     assert (0, 1) in got
 
 
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """Planted near-identical embeddings must pair; orthogonal ones must
+    not; the candidate path is LSH buckets, never a cross join."""
+    import math
+
+    from debezium_connector_db2_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    dim = 16
+
+    def vec(seed, jitter=0.0):
+        base = [math.sin(seed * 31 + i) for i in range(dim)]
+        return [v + jitter * math.cos(i) for i, v in enumerate(base)]
+
+    rows = [(0, vec(1)), (1, vec(1, 0.01)),          # near-dup pair
+            (2, vec(5)), (3, vec(9))]                # unrelated
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", dim=dim,
+                                     threshold=0.95, n_planes=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_media_native_matches_arrow_path(spark):
     docs = spark.range(50).select(
         F.col("id").alias("doc_id"),
