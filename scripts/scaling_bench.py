@@ -142,9 +142,11 @@ def run_floors(args, paths, lo: int, hi: int):
 
     summary = None
     off = getattr(args, "core_offset", 0)
+    only = getattr(args, "only", None)
+    sizes = (lo, hi) if not only else tuple(c for c in (lo, hi) if c == only)
     for i in range(args.repeats):
         improved = False
-        for cpus in (lo, hi):
+        for cpus in sizes:
             r = _collect(_spawn(cpus, f"{off}-{off + cpus - 1}", paths,
                                 args.n_batches))
             samples[cpus].append(r["replay_sec"])
@@ -168,6 +170,9 @@ def main():
     ap.add_argument("--n-batches", type=int, default=1)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--mode", choices=["pair", "floors"], default="pair")
+    ap.add_argument("--only", type=int, default=None,
+                    help="floors resume: sample only this cluster size "
+                         "(the other side's floor is already stable)")
     ap.add_argument("--core-offset", type=int, default=0,
                     help="pin to cores [offset, offset+N) — lets floors "
                          "runs dodge a statically-placed noisy neighbor")
