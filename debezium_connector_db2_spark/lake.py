@@ -212,6 +212,22 @@ class LakeTable:
         m = manifest or self.manifest()
         return self.schema_versions(m)[m["current_schema_version"]].struct
 
+    def schema_history(self) -> DataFrame:
+        """S12: the historized schema-change record as a queryable
+        DataFrame — one row per schema version with its DDL deltas (the
+        reference's schema-history topic, ``Db2DatabaseSchema.java:51-71``,
+        recovered in version order)."""
+        rows = [
+            (sv.version,
+             json.dumps(sv.added) if sv.added else None,
+             json.dumps(sv.renamed) if sv.renamed else None,
+             [f.name for f in sv.struct.fields])
+            for sv in self.schema_versions()
+        ]
+        return self.spark.createDataFrame(
+            rows, "version: int, added: string, renamed: string, "
+                  "columns: array<string>")
+
     def add_column(self, name: str, dtype: str, default: Any = None) -> None:
         """ADD COLUMN (metadata-only, like Iceberg).
 

@@ -112,3 +112,9 @@ def test_old_snapshot_files_readable_after_evolution(spark, tmpdir_path):
     target.rename_column("role", "speaker")
     out = target.read().collect()
     assert out[0].speaker == "user"
+    # S12: schema history queryable in version order
+    hist = target.schema_history().orderBy("version").collect()
+    assert [h.version for h in hist] == [0, 1, 2]
+    assert '"score"' in hist[1].added
+    assert '"role": "speaker"' in hist[2].renamed
+    assert "speaker" in hist[2].columns and "role" not in hist[2].columns
