@@ -577,6 +577,22 @@ def q_dedup_simhash(spark, sf_dir):
                             max_bucket_size=400)
 
 
+def q_text_sessionize(spark, sf_dir):
+    """Sessionization (gap rule) — pure window algebra batch form of the
+    engine's applyInPandasWithState streaming operator
+    (operators/sessionize.py); per-session aggregates."""
+    from debezium_connector_db2_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=30000,
+                   order_cols=("event_id",))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Fifth dedup family: embedding-cosine near-dup pairs via sign-LSH
     buckets + exact-cosine verification (never all-pairs).  The oracle
@@ -656,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "text_sessionize": q_text_sessionize,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1171,6 +1188,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(8, 4, 0.2),
         "ann_lsh_topk": _lsh_ann_sql(64, 5, 6, 7),
         "dedup_embedding_cosine": _embedding_dedup_sql(64, 0.4, 4, 7, 400),
+        "text_sessionize": """
+            WITH s0 AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_ms(ts)/1000.0
+                             - epoch_ms(lag(ts) OVER w)/1000.0 > 30000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+                        AS session_idx
+              FROM s0)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   max(event_id) AS last_event
+            FROM s GROUP BY 1, 2
+        """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),

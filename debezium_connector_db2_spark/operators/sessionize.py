@@ -1,0 +1,104 @@
+"""Sessionization of event/transcript streams.
+
+A session is a maximal run of a key's events with inter-event gaps ≤
+``gap_seconds`` — the standard building block for turning raw interaction
+logs into training conversations.
+
+Two renderings of the same semantics:
+
+* ``sessionize`` (batch): pure window algebra — ``new_session =
+  (ts - lag(ts)) > gap`` and ``session_idx = running sum of new_session``
+  — fully SQL-expressible, so it has a DuckDB oracle
+  (``text_sessionize`` in the driver contract).
+* ``sessionize_stream`` (streaming): the same assignment computed
+  incrementally with ``applyInPandasWithState`` — per-key state carries
+  (last event ts, current session index) across micro-batches, so late
+  micro-batch boundaries never split a session.  This is the engine's
+  custom-stateful-operator slot (Arrow-batched; one Python call per key
+  group per batch, never per row).  Equivalence with the batch form is
+  regression-pinned by test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_seconds: int, order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Assign ``session_idx`` (0-based per key) to every row.
+
+    ``order_cols`` break ties for equal timestamps (pass the event id for
+    a total order — required for deterministic output).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # NTZ timestamps (parquet without tz) need a hop through TIMESTAMP
+    # before the epoch-seconds cast (session tz is UTC everywhere here)
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    prev_secs = F.lag(secs).over(w)
+    new_session = F.when(
+        prev_secs.isNull() | ((secs - prev_secs) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key_col).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_idx",
+                         (F.sum(new_session).over(running) - 1).cast("int"))
+
+
+def sessionize_stream(
+    events: DataFrame, key_col: str, ts_col: str, gap_seconds: int,
+):
+    """Streaming sessionization via ``applyInPandasWithState``.
+
+    ``events`` is a (possibly streaming) DataFrame with at least
+    (key_col, ts_col).  Emits (key, ts, session_idx).  Requires rows of a
+    key to arrive in ts order across batches (true for our LSN-ordered
+    binlog feeds); within a batch they are sorted.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("session_idx", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("session_idx", T.IntegerType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, sess = state.get
+        else:
+            last_ts, sess = None, -1
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            out_ts, out_sess = [], []
+            for t in pdf[ts_col]:
+                tsec = t.timestamp()
+                if last_ts is None or tsec - last_ts > gap_seconds:
+                    sess += 1
+                last_ts = tsec
+                out_ts.append(t)
+                out_sess.append(sess)
+            yield pd.DataFrame({
+                "key": [key[0]] * len(out_ts),
+                "ts": out_ts,
+                "session_idx": pd.array(out_sess, dtype="Int32"),
+            })
+        state.update((last_ts, sess))
+
+    return (
+        events.select(F.col(key_col).alias("key"), F.col(ts_col).alias(ts_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
