@@ -26,7 +26,13 @@ from debezium_connector_db2_spark.operators import (
     masking as MK,
     similarity as SIM,
 )
-from debezium_connector_db2_spark.operators.multimodal import decode_media, frame_sample_plan, to_media
+from debezium_connector_db2_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample_plan,
+    resize_plan,
+    to_media,
+)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -628,6 +634,19 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_resize_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    return resize_plan(media, target_w=512, target_h=512)
+
+
+def q_media_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                     kind="audio")
+    return extract_features(media, n_coeffs=8)
+
+
 def q_media_frame_plan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), kind="video")
@@ -678,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
         "media_frame_plan": q_media_frame_plan,
+        "media_resize_plan": q_media_resize_plan,
+        "media_features": q_media_features,
     }
 
 
@@ -1177,6 +1198,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "media_resize_plan": f"""
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     ({_H60_TEXT} % 1920)::INT + 1 AS width,
+                     (({_H60_TEXT} // 65536) % 1080)::INT + 1 AS height
+              FROM documents WHERE doc_id < 200),
+            s AS (
+              SELECT *, least(512.0 / width, 512.0 / height, 1.0) AS sc
+              FROM m)
+            SELECT media_id, width, height,
+                   greatest(floor(width * sc)::INT, 1) AS out_width,
+                   greatest(floor(height * sc)::INT, 1) AS out_height,
+                   round(sc, 6) AS scale
+            FROM s
+        """,
+        "media_features": f"""
+            WITH h AS (
+              SELECT doc_id AS media_id, t.c AS coeff_idx,
+                     ('0x' || substr(md5(md5(text) || ':c:'
+                                     || CAST(t.c AS VARCHAR)), 1, 15))::BIGINT
+                       AS hv
+              FROM documents, range(0, 8) t(c) WHERE doc_id < 200)
+            SELECT media_id, coeff_idx,
+                   (hv % 2000001) / 1000000.0 - 1.0 AS value
+            FROM h
         """,
         "media_frame_plan": f"""
             SELECT doc_id AS media_id,

@@ -107,6 +107,55 @@ def decode_media(df: DataFrame, decode_stub: str = "deterministic",
     return df.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Aspect-preserving fit-inside resize plan for image payloads.
+
+    Real resize math over the decoded dimensions (scale = min(tw/w, th/h),
+    never upscale), JVM-side; the pixel work itself belongs to the codec
+    slot.  Output: (media_id, width, height, out_width, out_height,
+    scale)."""
+    meta = decode_media(df)
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("meta_width"),
+        F.lit(float(target_h)) / F.col("meta_height"),
+        F.lit(1.0),
+    )
+    return meta.select(
+        "media_id",
+        F.col("meta_width").alias("width"),
+        F.col("meta_height").alias("height"),
+        F.greatest(F.floor(F.col("meta_width") * scale).cast("int"),
+                   F.lit(1)).alias("out_width"),
+        F.greatest(F.floor(F.col("meta_height") * scale).cast("int"),
+                   F.lit(1)).alias("out_height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def extract_features(df: DataFrame, n_coeffs: int = 8,
+                     decode_stub: str = "deterministic") -> DataFrame:
+    """Per-payload feature vector (MFCC-like coefficient stub).
+
+    Plumbing shape is real — one feature row per (media, coefficient),
+    ready for the embedding/ANN operators downstream; the coefficient
+    values are a deterministic pure function of the payload md5 (the real
+    DSP plugs into the Arrow slot like ``decode_media``'s codec)."""
+    md5 = F.md5(F.col("payload"))
+    rows = df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_coeffs - 1))).alias("coeff_idx"),
+        md5.alias("__md5"),
+    )
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("__md5"), F.lit(":c:"),
+                       F.col("coeff_idx").cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    return rows.select(
+        "media_id", "coeff_idx",
+        (F.pmod(h, F.lit(2_000_001)) / F.lit(1_000_000.0) - 1.0).alias("value"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expand each video into its frame-sample timestamps (plumbing for a
     frame extractor): JVM-side sequence, no Python."""
