@@ -321,7 +321,19 @@ class CdcEngine:
         for sig in self.signals.poll():
             if sig.id in done:
                 continue
-            self._handle_signal(sig)
+            try:
+                self._handle_signal(sig)
+            except Exception as e:  # noqa: BLE001
+                # a bad signal must not wedge the streaming loop in a
+                # crash-retry cycle: surface it and move on (the reference
+                # logs and skips unprocessable signals)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "signal %s (%s) failed: %s", sig.id, sig.type, e)
+                self._notify("Signal", "FAILED",
+                             {"signal_id": sig.id, "signal_type": sig.type,
+                              "error": str(e)[:500]})
             done.add(sig.id)
             self._mark_signal_done(done)
             ran += 1

@@ -149,6 +149,30 @@ def test_initial_snapshot_notifications(spark, tmpdir_path):
     assert [n["id"] for n in notif.read()] == [0, 1, 2]
 
 
+def test_bad_signal_does_not_wedge_the_loop(spark, tmpdir_path):
+    """An unprocessable signal (here: execute-snapshot without a source
+    provider) is surfaced on the notification channel and skipped — the
+    stream keeps flowing and the signal is not retried forever."""
+    rows = [_row(1, 0, "I", "a", 0, "v1")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    signals = SignalChannel(os.path.join(tmpdir_path, "sig"))
+    notif = NotificationLog(os.path.join(tmpdir_path, "n.jsonl"))
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    signals=signals, notifications=notif)
+    signals.send("execute-snapshot", {"type": "incremental"})  # no provider
+    signals.send("definitely-not-a-signal-type")
+    batches = eng.run_available()
+    assert len(batches) == 1                       # stream still flowed
+    assert t.read().count() == 1
+    kinds = [(n["aggregate_type"], n["type"]) for n in notif.read()]
+    assert ("Signal", "FAILED") in kinds
+    assert ("Signal", "UNKNOWN") in kinds
+    assert eng.process_signals() == 0              # consumed, not retried
+
+
 def test_error_driven_capture_repair(spark, tmpdir_path):
     """One table's capture feed is corrupted mid-stream: that table is
     deregistered (the reference prunes the capture instance and retries),
