@@ -545,6 +545,28 @@ class CdcEngine:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_dir)
 
+    def metrics(self) -> dict:
+        """A5 monitoring summary off the lineage table + checkpoint — the
+        reference's CAPMON counters (rows processed, position, last
+        activity) as one dict."""
+        off = self.checkpoint.read()
+        row = self.lineage().agg(
+            F.sum("event_count").alias("events_applied"),
+            F.max("max_applied_lsn").alias("max_applied_lsn"),
+            F.max("watermark").alias("watermark"),
+            F.max("epoch").alias("last_epoch"),
+        ).collect()[0]
+        return {
+            "events_applied": row["events_applied"] or 0,
+            "max_applied_lsn": row["max_applied_lsn"],
+            "watermark": row["watermark"],
+            "last_epoch": row["last_epoch"],
+            "checkpoint_lsn": off.commit_lsn,
+            "epoch": off.epoch,
+            "snapshot_completed": off.snapshot_completed,
+            "paused": self.paused(),
+        }
+
     def timestamp_of_lsn(self, commit_lsn: int):
         """S9: commit LSN -> wall-clock instant (the reference's UOW
         lookup with an LRU cache, ``Db2Connection.java:240-263``).  Our

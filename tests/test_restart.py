@@ -96,3 +96,9 @@ def test_rerun_after_completion_is_noop(spark, tmpdir_path):
     v = target.current_version()
     assert eng.run_available() == []          # idle: no new LSNs (T9)
     assert target.current_version() == v      # no spurious commits
+    # A5: monitoring summary reflects the completed run
+    m = eng.metrics()
+    assert m["events_applied"] > 0
+    assert m["max_applied_lsn"] <= m["checkpoint_lsn"]
+    assert m["snapshot_completed"] is False and m["paused"] is False
+    assert m["last_epoch"] == m["epoch"]
