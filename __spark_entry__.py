@@ -455,7 +455,12 @@ def q_cdc_decimal_modes(spark, sf_dir):
     vs_scale, vs_unscaled = variable_scale_decimal(bal, 15, 2, as_struct=False)
     return cust.select(
         "c_custkey",
-        decimal_column(bal, 15, 2, "precise").alias("bal_precise"),
+        # Rendered as string for the hash gate: Spark DECIMAL(15,2) and
+        # DuckDB DECIMAL(15,2) round-trip through the driver's comparison
+        # with different textual renderings ('3881.70' vs 3881.7); the
+        # exact value is carried by (vsd_scale, vsd_unscaled) regardless.
+        decimal_column(bal, 15, 2, "precise").cast("string")
+        .alias("bal_precise"),
         decimal_column(bal, 15, 2, "double").alias("bal_double"),
         decimal_column(bal, 15, 2, "string").alias("bal_string"),
         vs_scale.alias("vsd_scale"),
@@ -1102,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_decimal_modes": """
             SELECT c_custkey,
-                   round(c_acctbal, 2)::DECIMAL(15,2) AS bal_precise,
+                   round(c_acctbal, 2)::DECIMAL(15,2)::VARCHAR AS bal_precise,
                    round(c_acctbal, 2)::DECIMAL(15,2)::DOUBLE AS bal_double,
                    round(c_acctbal, 2)::DECIMAL(15,2)::VARCHAR AS bal_string,
                    2::INT AS vsd_scale,

@@ -171,7 +171,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
             n = df.count()
             out[name] = round(time.time() - t0, 3)
             _ = n
-        spark.catalog.clearCache()  # drop operator-internal persists
+            del df              # releases result-scoped pins (caching.py)
+            spark.catalog.clearCache()  # belt-and-suspenders: no query
+            # may inherit another's cached blocks — each timing is the
+            # cost a fresh caller pays
     return cold, warm
 
 

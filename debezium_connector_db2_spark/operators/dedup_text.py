@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from debezium_connector_db2_spark.functions.caching import pin_for_result
 from debezium_connector_db2_spark.functions.hashing import h60, seeded
 from debezium_connector_db2_spark.functions.text import fingerprint, word_shingles
 
@@ -71,9 +72,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    # the (filtered) inverted index feeds three consumers (sizes, both
-    # join sides) — materialize it once instead of re-shingling per branch
-    sh = sh.persist()
+    # The (filtered) inverted index feeds three consumers (sizes, both
+    # join sides); pin it for the result's lifetime — unpersisted
+    # automatically when the caller drops the returned DataFrame
+    # (pin_for_result), so repeated calls don't accumulate blocks.
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -98,7 +100,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
+    return pin_for_result(out, sh)
 
 
 def minhash_signatures(
@@ -130,14 +132,16 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    # one shingle pass feeds the signatures AND the exact-verify stage
-    sh = _shingled(df, id_col, text_col, k_shingle).persist()
+    # One shingle pass feeds the signatures AND the exact-verify stage;
     # the signature table feeds every band branch and both sides of the
-    # candidate self-join — cache it or the agg recomputes 2*bands times
+    # candidate self-join (the agg would recompute 2*bands times
+    # otherwise).  Both are pinned for the result's lifetime only
+    # (pin_for_result) — released when the caller drops the result.
+    sh = _shingled(df, id_col, text_col, k_shingle)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}")
           for i in range(n_hashes)]
-    ).persist()
+    )
 
     band_rows = []
     for b in range(bands):
@@ -170,7 +174,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -183,6 +187,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return pin_for_result(out, sh, sig)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> DataFrame:
@@ -237,9 +242,12 @@ def simhash_pairs(
     number of hot buckets), logged, and filled in; or call
     ``oversized_chunk_buckets`` for the full list.
     """
-    # the fingerprint table feeds every chunk branch on both sides of the
-    # candidate self-join — cache it or the wide sign-sum agg recomputes
-    # 2*(max_hamming+1) times
+    # The fingerprint table feeds every chunk branch on both sides of the
+    # candidate self-join — without a cache the wide sign-sum agg
+    # recomputes 2*(max_hamming+1) times.  Persisted here (so an eager
+    # drop_stats aggregation below populates the cache too — one
+    # fingerprint computation per call) and released automatically when
+    # the caller drops the result (pin_for_result at the return).
     fps = simhash(df, id_col, text_col, n_bits).persist()
     n_chunks = max_hamming + 1
     chunk_bits = n_bits // n_chunks
@@ -259,18 +267,23 @@ def simhash_pairs(
     if max_bucket_size is not None:
         # groupBy+semi-join instead of a window count: the per-bucket
         # count table is tiny (≤ live buckets), AQE broadcasts it
-        keep = (cdf.groupBy("chunk", "cval")
-                .agg(F.count(F.lit(1)).alias("__bn"))
-                .where(F.col("__bn") <= max_bucket_size)
+        counts = (cdf.groupBy("chunk", "cval")
+                  .agg(F.count(F.lit(1)).alias("__bn")))
+        keep = (counts.where(F.col("__bn") <= max_bucket_size)
                 .select("chunk", "cval"))
         cdf = cdf.join(keep, ["chunk", "cval"], "left_semi")
         if drop_stats is not None:
             import logging
 
-            over = (oversized_chunk_buckets(
-                df, id_col, text_col, n_bits, max_hamming, max_bucket_size)
-                .agg(F.count(F.lit(1)).alias("b"),
-                     F.sum("n_docs").alias("r")).collect()[0])
+            # Same aggregation tree as `keep`, filtered the other way —
+            # collected eagerly (bounded: one summary row).  Running it
+            # here populates the persisted fps cache, so the caller's
+            # action reuses the fingerprints: one fingerprint computation
+            # per call.  (Observation can't fold this into the caller's
+            # action — it breaks under the union+self-join plan.)
+            over = (counts.where(F.col("__bn") > max_bucket_size)
+                    .agg(F.count(F.lit(1)).alias("b"),
+                         F.sum("__bn").alias("r")).collect()[0])
             drop_stats["dropped_buckets"] = over["b"]
             drop_stats["dropped_rows"] = over["r"] or 0
             if over["b"]:
@@ -287,7 +300,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
@@ -295,6 +308,7 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return pin_for_result(out, fps)
 
 
 def oversized_chunk_buckets(

@@ -108,3 +108,60 @@ def test_media_native_matches_arrow_path(spark):
     native = decode_media(media, native=True).orderBy("media_id").collect()
     arrow = decode_media(media, native=False).orderBy("media_id").collect()
     assert [tuple(r) for r in native] == [tuple(r) for r in arrow]
+
+
+def test_dedup_operators_release_persisted_blocks(spark):
+    """Library operators must not leak cached blocks into the session:
+    every persist() inside the dedup family is scoped to the returned
+    result's lifetime (functions/caching.py) — once the caller drops the
+    result, getPersistentRDDs drains to empty (VERDICT r2 'What's wrong'
+    #2: un-released pins caused warm-pass eviction thrash in bench)."""
+    import gc
+
+    rows = [(i, f"document number {i} with some shared words and "
+                f"unique token u{i}") for i in range(80)]
+    docs = _docs(spark, rows)
+    spark.catalog.clearCache()  # isolate from earlier tests
+
+    stats = {}
+    for make in (
+        lambda: DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
+                                       threshold=0.2, max_shingle_df=50),
+        lambda: DD.minhash_lsh_pairs(docs, "doc_id", "text", k_shingle=2),
+        lambda: DD.simhash_pairs(docs, "doc_id", "text",
+                                 max_bucket_size=50, drop_stats=stats),
+    ):
+        res = make()
+        res.count()  # caller materializes — pins must be live here
+        del res
+        gc.collect()
+        n = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n == 0, f"leaked {n} persisted RDDs after operator result dropped"
+    assert "dropped_buckets" in stats
+
+
+def test_simhash_drop_stats_single_fingerprint_pass(spark):
+    """simhash_pairs(drop_stats=...) must not recompute fingerprints from
+    raw text for the diagnostic: the eager drop aggregation runs over the
+    *persisted* fps table, populating its cache, so the caller's action
+    reuses it — one fingerprint computation per call (VERDICT r2 #4)."""
+    import gc
+
+    rows = [(i, f"some words w{i} x{i % 7} shared tail") for i in range(60)]
+    docs = _docs(spark, rows)
+    spark.catalog.clearCache()
+
+    stats = {}
+    res = DD.simhash_pairs(docs, "doc_id", "text",
+                           max_bucket_size=10, drop_stats=stats)
+    # the eager diagnostic already ran: the pinned fps cache must be fully
+    # materialized *before* the caller's first action
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached = [i for i in infos if i.numCachedPartitions() > 0]
+    assert len(cached) == 1, (
+        f"expected the fps cache populated by the drop_stats pass, "
+        f"got {[(i.name(), i.numCachedPartitions()) for i in infos]}")
+    res.count()
+    del res
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
