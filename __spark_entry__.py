@@ -360,6 +360,28 @@ def q_cdc_event_feed_tombstones(spark, sf_dir):
     return d_rows.unionByName(t_rows)
 
 
+def q_cdc_envelope(spark, sf_dir):
+    """Full Debezium record envelope, flattened for hashing: the golden
+    nested ``source`` struct (``Db2SourceInfoStructMaker.java:19-51``;
+    field set/order asserted by ``SourceInfoTest.java:86-104``) over the
+    synthetic capture feed.  Engine path: ``CdcEngine.export_envelope``;
+    LSNs render as order-preserving hex (``Lsn.java:62-102``), instants
+    via the exact integer-microseconds path (no floating point)."""
+    from debezium_connector_db2_spark.functions.envelope import source_struct
+
+    cap = _capture(spark, sf_dir)
+    op = (F.when(F.col("op") == "I", "c")
+          .when(F.col("op") == "U", "u").otherwise("d"))
+    src = source_struct(
+        version="0.1.0", name="srv", ts=F.col("ts"),
+        snapshot=F.lit("false"), db="testdb", schema_name="cdc",
+        table=F.lit("events"), change_lsn=F.col("intent_seq"),
+        commit_lsn=F.col("commit_lsn"),
+    )
+    return (cap.select("event_id", op.alias("op"), src.alias("src"))
+            .select("event_id", "op", "src.*"))
+
+
 def q_cdc_tx_feed(spark, sf_dir):
     """A3 as an ordered stream: BEGIN / data / END records interleaved per
     transaction, END carrying the event count
@@ -681,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
         "cdc_reselect": q_cdc_reselect,
         "cdc_event_feed_tombstones": q_cdc_event_feed_tombstones,
+        "cdc_envelope": q_cdc_envelope,
         "cdc_tx_feed": q_cdc_tx_feed,
         "cdc_signal_snapshot": q_cdc_signal_snapshot,
         "cdc_nulls_last_order": q_cdc_nulls_last_order,
@@ -1055,6 +1078,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT commit_lsn, intent_seq * 2 + 1 AS seq, 't' AS op,
                    NULL::BIGINT AS key FROM deletes
+        """,
+        "cdc_envelope": f"""
+            SELECT event_id,
+                   CASE WHEN op = 'I' THEN 'c'
+                        WHEN op = 'U' THEN 'u' ELSE 'd' END AS op,
+                   '0.1.0' AS version,
+                   'db2-spark' AS connector,
+                   'srv' AS name,
+                   epoch_us(ts) // 1000 AS ts_ms,
+                   'false' AS snapshot,
+                   'testdb' AS db,
+                   NULL::VARCHAR AS sequence,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(ts) * 1000 AS ts_ns,
+                   'cdc' AS "schema",
+                   'events' AS "table",
+                   lpad(lower(to_hex(intent_seq)), 16, '0') AS change_lsn,
+                   lpad(lower(to_hex(commit_lsn)), 16, '0') AS commit_lsn
+            FROM ({_CAPTURE_SQL})
         """,
         "cdc_tx_feed": f"""
             WITH cap AS (

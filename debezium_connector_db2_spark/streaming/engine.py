@@ -616,7 +616,9 @@ class CdcEngine:
 
     def export_events(self, from_lsn: int, to_lsn: int,
                       tombstones: bool = True,
-                      transaction_markers: bool = False) -> DataFrame:
+                      transaction_markers: bool = False,
+                      with_key: bool = False,
+                      heartbeats: bool = False) -> DataFrame:
         """Canonical change-event feed for an LSN interval: the full
         classify+pair path (J3/J4) producing c/u/d/r envelopes with
         before/after images — what the reference publishes per-table to
@@ -630,12 +632,33 @@ class CdcEngine:
         transaction's data-event count) — the reference's
         ``provide.transaction.metadata`` stream, asserted by
         ``TransactionMetadataIT.java:64-119``.  BEGIN sorts before and END
-        after every data row of its commit_lsn (intent_seq -1 / 2^62)."""
+        after every data row of its commit_lsn (intent_seq -1 / 2^62).
+
+        ``with_key=True`` adds a ``key`` struct of the PK columns (the
+        Kafka record key) — present on tombstone rows too, whose payloads
+        are null: a tombstone is key + null value.
+
+        ``heartbeats=True`` makes an *empty* interval yield one op='h'
+        record at position (to_lsn, 0) instead of zero rows — the
+        reference's heartbeat topic records, which keep downstream
+        liveness monitors fed while the source is idle (Debezium core
+        heartbeat wiring; the idle probe itself mirrors
+        ``Db2StreamingChangeEventSource.java:147-152``).  Costs one
+        isEmpty() probe on the feed."""
         payload_cols = self.payload_cols()
         raw = self.binlog.read_range(from_lsn, to_lsn)
         raw = raw.where(F.col("table") == self.table)
         raw = self._normalize_binlog(raw)
         events = to_change_events(raw, self.pk_cols, payload_cols)
+        if with_key:
+            events = events.withColumn(
+                "key",
+                F.struct(*[
+                    F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))
+                    .alias(c) for c in self.pk_cols
+                ]),
+            )
+        key_cols = ["key"] if with_key else []
         feed = events
         if tombstones:
             null_payload = F.lit(None).cast(events.schema["after"].dataType)
@@ -650,15 +673,16 @@ class CdcEngine:
             ).otherwise(F.array(F.struct(F.col("op"), F.col("before"), F.col("after"))))
             feed = (
                 events.select("commit_lsn", "intent_seq", "table", "schema_version",
-                              F.posexplode(dup).alias("pos", "e"))
+                              *key_cols, F.posexplode(dup).alias("pos", "e"))
                 .select("commit_lsn",
                         (F.col("intent_seq") * 2 + F.col("pos")).alias("intent_seq"),
                         F.col("e.op").alias("op"), "table", "schema_version",
+                        *key_cols,
                         F.col("e.before").alias("before"),
                         F.col("e.after").alias("after"))
             )
         if not transaction_markers:
-            return feed
+            return self._with_heartbeat(feed, to_lsn) if heartbeats else feed
         # per-tx BEGIN/END, counting *data* events (tombstones excluded,
         # as the reference counts dispatched change events)
         data = feed.where(F.col("op") != "t")
@@ -668,20 +692,64 @@ class CdcEngine:
         null_payload = F.lit(None).cast(events.schema["after"].dataType)
 
         def marker(op: str, seq: int, count):
-            return per_tx.select(
-                "commit_lsn",
+            cols = [
+                F.col("commit_lsn"),
                 F.lit(seq).cast("long").alias("intent_seq"),
                 F.lit(op).alias("op"),
                 F.lit(None).cast("string").alias("table"),
                 F.lit(None).cast("int").alias("schema_version"),
-                null_payload.alias("before"),
-                null_payload.alias("after"),
-                count.alias("event_count"),
-            )
+            ]
+            if with_key:
+                cols.append(F.lit(None).cast(
+                    feed.schema["key"].dataType).alias("key"))
+            cols += [null_payload.alias("before"),
+                     null_payload.alias("after"),
+                     count.alias("event_count")]
+            return per_tx.select(*cols)
 
         begin = marker("begin", -1, F.lit(None).cast("long"))
         end = marker("end", 2 ** 62, F.col("event_count"))
-        return feed.unionByName(begin).unionByName(end)
+        feed = feed.unionByName(begin).unionByName(end)
+        return self._with_heartbeat(feed, to_lsn) if heartbeats else feed
+
+    def _with_heartbeat(self, feed: DataFrame, to_lsn: int) -> DataFrame:
+        """If ``feed`` is empty, one op='h' record at (to_lsn, 0) with
+        nulls in every other slot, same schema as the feed."""
+        if not feed.isEmpty():
+            return feed
+        fixed = {
+            "commit_lsn": F.lit(to_lsn).cast("long"),
+            "intent_seq": F.lit(0).cast("long"),
+            "op": F.lit("h"),
+            "table": F.lit(self.table),
+        }
+        return self.spark.range(1).select(*[
+            (fixed[f.name] if f.name in fixed
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in feed.schema.fields
+        ])
+
+    def export_envelope(self, from_lsn: int, to_lsn: int,
+                        tombstones: bool = True,
+                        server_name: str = "cdc-engine",
+                        db: str = "testdb",
+                        schema_name: str = "cdc") -> DataFrame:
+        """S11 as full Debezium records: (table, commit_lsn, intent_seq,
+        key, envelope) where ``envelope`` is ``{before, after, source,
+        op, ts_ms}`` with the golden nested source struct
+        (``Db2SourceInfoStructMaker.java:19-51``, field set/order asserted
+        by ``SourceInfoTest.java:86-104``) and ``key`` is the PK struct
+        (the Kafka record key).  Tombstone rows carry key + NULL envelope
+        — the log-compaction contract (``Db2ConnectorIT.java:211-215``)."""
+        from debezium_connector_db2_spark import __version__
+        from debezium_connector_db2_spark.functions.envelope import wrap_envelope
+
+        feed = self.export_events(from_lsn, to_lsn, tombstones=tombstones,
+                                  with_key=True)
+        return wrap_envelope(
+            feed, version=__version__, name=server_name, db=db,
+            schema_name=schema_name, key_col="key",
+        )
 
     def export_events_cloudevents(self, from_lsn: int, to_lsn: int,
                                   source_name: str = "cdc-engine") -> DataFrame:

@@ -1,0 +1,113 @@
+"""Full Debezium record envelope: nested ``source`` struct with the golden
+field set/order (``Db2SourceInfoStructMaker.java:19-51``, asserted by
+``SourceInfoTest.java:86-104``), key+null-value tombstones, and op='h'
+heartbeat records for empty LSN intervals."""
+
+import datetime
+import os
+
+from debezium_connector_db2_spark import __version__
+from debezium_connector_db2_spark.functions.envelope import SOURCE_FIELD_NAMES
+from debezium_connector_db2_spark.lake import LakeTable
+from debezium_connector_db2_spark.schemas import BINLOG_SCHEMA, TRANSCRIPT_SCHEMA
+from debezium_connector_db2_spark.sources.binlog import BinlogSource
+from debezium_connector_db2_spark.streaming.engine import CdcEngine
+
+TS = datetime.datetime(2026, 1, 2, 3, 4, 5)
+
+
+def _row(lsn, seq, op, conv, turn, text):
+    return (lsn, seq, op, "transcripts", 0, conv, turn, "user", text, None, TS)
+
+
+def _engine(spark, tmpdir_path):
+    rows = [
+        _row(1, 0, "I", "a", 0, "hello"),
+        _row(2, 0, "D", "a", 0, "hello"),
+        _row(3, 0, "I", "b", 0, "world"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    return CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+
+
+def test_source_struct_golden_schema(spark, tmpdir_path):
+    """Field names in the reference's exact order, with the reference's
+    optionality split (SourceInfoTest.java schemaIsCorrect)."""
+    eng = _engine(spark, tmpdir_path)
+    env = eng.export_envelope(1, 3, db="c", schema_name="s")
+    src_type = env.schema["envelope"].dataType["source"].dataType
+    assert [f.name for f in src_type.fields] == SOURCE_FIELD_NAMES
+    by_name = {f.name: f.dataType.simpleString() for f in src_type.fields}
+    assert by_name["version"] == "string"
+    assert by_name["connector"] == "string"
+    assert by_name["name"] == "string"
+    assert by_name["ts_ms"] == "bigint"
+    assert by_name["snapshot"] == "string"
+    assert by_name["db"] == "string"
+    assert by_name["sequence"] == "string"
+    assert by_name["ts_us"] == "bigint"
+    assert by_name["ts_ns"] == "bigint"
+    assert by_name["schema"] == "string"
+    assert by_name["table"] == "string"
+    assert by_name["change_lsn"] == "string"
+    assert by_name["commit_lsn"] == "string"
+    # top-level envelope: before/after/source/op/ts_ms
+    assert [f.name for f in env.schema["envelope"].dataType.fields] == [
+        "before", "after", "source", "op", "ts_ms"]
+
+
+def test_source_struct_values(spark, tmpdir_path):
+    eng = _engine(spark, tmpdir_path)
+    rows = eng.export_envelope(1, 3, tombstones=False, server_name="srv1",
+                               db="c", schema_name="s").collect()
+    assert len(rows) == 3
+    r = next(x for x in rows if x.commit_lsn == 1)
+    s = r.envelope.source
+    assert s.version == __version__
+    assert s.connector == "db2-spark"
+    assert s.name == "srv1"
+    assert s.snapshot == "false"
+    assert (s.db, s.schema, s.table) == ("c", "s", "transcripts")
+    assert s.sequence is None
+    # LSNs as zero-padded order-preserving hex (Lsn.java:62-102)
+    assert s.commit_lsn == "0000000000000001"
+    assert s.change_lsn == "0000000000000000"
+    # commit instant from the event's inline ts, ms/us/ns consistent
+    epoch = TS.replace(tzinfo=datetime.timezone.utc).timestamp()
+    assert s.ts_ms == int(epoch * 1000)
+    assert s.ts_us == s.ts_ms * 1000 and s.ts_ns == s.ts_us * 1000
+    assert r.envelope.ts_ms == s.ts_ms
+    assert r.envelope.op == "c"
+    assert r.envelope.after.text == "hello" and r.envelope.before is None
+
+
+def test_tombstone_is_key_plus_null_envelope(spark, tmpdir_path):
+    eng = _engine(spark, tmpdir_path)
+    rows = eng.export_envelope(1, 3, tombstones=True).collect()
+    tomb = [r for r in rows if r.envelope is None]
+    assert len(tomb) == 1
+    assert tomb[0].key.conv_id == "a" and tomb[0].key.turn_idx == 0
+    # the delete record itself still has a full envelope with before image
+    d = next(r for r in rows if r.envelope is not None and r.envelope.op == "d")
+    assert d.envelope.before.text == "hello" and d.envelope.after is None
+    assert d.key.conv_id == "a"
+
+
+def test_heartbeat_record_on_empty_interval(spark, tmpdir_path):
+    eng = _engine(spark, tmpdir_path)
+    # beyond the max LSN: no change rows — one heartbeat instead
+    hb = eng.export_events(100, 200, heartbeats=True).collect()
+    assert len(hb) == 1
+    assert hb[0].op == "h"
+    assert hb[0].commit_lsn == 200 and hb[0].intent_seq == 0
+    assert hb[0].before is None and hb[0].after is None
+    # a non-empty interval is unaffected by the flag
+    got = eng.export_events(1, 3, heartbeats=True)
+    assert got.where(got.op == "h").count() == 0
+    # markers + key variant also supports heartbeats
+    hb2 = eng.export_events(100, 200, heartbeats=True, with_key=True,
+                            transaction_markers=True).collect()
+    assert [r.op for r in hb2] == ["h"]
