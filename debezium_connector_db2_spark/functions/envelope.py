@@ -88,6 +88,7 @@ def wrap_envelope(
     schema_name: str,
     ts_col: str = "ts",
     key_col: str | None = None,
+    transaction_block: bool = False,
 ) -> DataFrame:
     """Wrap an export_events-shaped feed (op/before/after/commit_lsn/
     intent_seq/table) into full Debezium records.
@@ -102,7 +103,27 @@ def wrap_envelope(
     before.ts)`` (column ``ts_col`` of the payload images) — this engine
     stores the instant inline per event, playing the role of the
     reference's UOW commit-time lookup (``Db2Connection.java:240-263``).
+
+    ``transaction_block=True`` adds Debezium's per-record ``transaction``
+    struct ``{id, total_order, data_collection_order}`` — tx id (the
+    commit LSN, hex), the event's 1-based position across the whole
+    transaction, and its position among the transaction's events for the
+    same table (``TransactionMetadataIT.java:110-117``
+    ``assertRecordTransactionMetadata``).  Orders count *data* events
+    only; tombstones carry no transaction block (they have no envelope).
+    Cost: two windows partitioned by commit_lsn — bounded per-partition
+    state (a transaction's events), same shape as the classify step.
     """
+    if transaction_block:
+        from pyspark.sql import Window
+
+        is_data = (F.col("op") != "t").cast("int")
+        w = (Window.partitionBy("commit_lsn").orderBy("intent_seq")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wt = (Window.partitionBy("commit_lsn", "table").orderBy("intent_seq")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        feed = (feed.withColumn("__tx_total", F.sum(is_data).over(w))
+                .withColumn("__tx_coll", F.sum(is_data).over(wt)))
     ts = F.coalesce(F.col(f"after.{ts_col}"), F.col(f"before.{ts_col}"))
     snapshot = F.when(F.col("op") == "r", F.lit("true")).otherwise(F.lit("false"))
     src = source_struct(
@@ -111,16 +132,21 @@ def wrap_envelope(
         change_lsn=F.col("intent_seq"), commit_lsn=F.col("commit_lsn"),
     )
     ts_ms = (F.unix_micros(ts.cast("timestamp")) / F.lit(1000)).cast("long")
-    envelope = F.when(
-        F.col("op") != "t",
-        F.struct(
-            F.col("before").alias("before"),
-            F.col("after").alias("after"),
-            src.alias("source"),
-            F.col("op").alias("op"),
-            ts_ms.alias("ts_ms"),
-        ),
-    )  # otherwise NULL — tombstone
+    env_fields = [
+        F.col("before").alias("before"),
+        F.col("after").alias("after"),
+        src.alias("source"),
+        F.col("op").alias("op"),
+        ts_ms.alias("ts_ms"),
+    ]
+    if transaction_block:
+        env_fields.append(F.struct(
+            lsn_to_hex(F.col("commit_lsn")).alias("id"),
+            F.col("__tx_total").cast("long").alias("total_order"),
+            F.col("__tx_coll").cast("long").alias("data_collection_order"),
+        ).alias("transaction"))
+    envelope = F.when(F.col("op") != "t", F.struct(*env_fields))
+    # otherwise NULL — tombstone
     cols = ["table", "commit_lsn", "intent_seq"]
     if key_col is not None:
         cols.append(key_col)

@@ -228,6 +228,48 @@ class LakeTable:
             rows, "version: int, added: string, renamed: string, "
                   "columns: array<string>")
 
+    def recover_schema_history(self) -> T.StructType:
+        """Rebuild a lost/corrupted schema-version manifest from the data
+        files' parquet footers — the lake half of the reference's
+        ``recovery`` snapshot mode (``Db2ConnectorConfig.java:60-110``:
+        rebuild schema history without re-snapshotting data; exercised by
+        ``Db2ConnectorIT.java:912-1085``).
+
+        The union of all data files' physical schemas (minus internal
+        ``__``-columns) becomes schema version 0; every file is
+        re-stamped at that version.  As in the reference, only the
+        *current* shape is recoverable: rename lineage and column
+        defaults from the lost history are gone (files written under an
+        old column name surface that name as an extra all-null column).
+        Commits as a normal manifest version, so the recovery itself is
+        atomic and appears in ``history()``.
+        """
+        m = self.manifest()
+        paths = [os.path.join(self.path, fe["path"])
+                 for files in m["files"].values() for fe in files]
+        if not paths:
+            raise ValueError(
+                "cannot recover schema history: table has no data files")
+        phys = (self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths).schema)
+        struct = T.StructType(
+            [f for f in phys.fields if not f.name.startswith("__")])
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["parent"] = m["version"]
+        m2["schema_versions"] = [{
+            "version": 0, "schema_json": struct.jsonValue(),
+            "added": {}, "renamed": {},
+        }]
+        m2["current_schema_version"] = 0
+        m2["files"] = {
+            b: [{**fe, "schema_version": 0} for fe in files]
+            for b, files in m["files"].items()
+        }
+        m2["summary"] = {"operation": "schema-recovery"}
+        self._write_manifest(m2)
+        return struct
+
     def add_column(self, name: str, dtype: str, default: Any = None) -> None:
         """ADD COLUMN (metadata-only, like Iceberg).
 

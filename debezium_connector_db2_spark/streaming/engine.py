@@ -152,7 +152,10 @@ class CdcEngine:
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
-    def snapshot_load(self, source: DataFrame, mode: str = "initial") -> Offset:
+    def snapshot_load(self, source: DataFrame, mode: str = "initial",
+                      config: dict | None = None,
+                      custom: Callable[["CdcEngine", Offset], str] | None = None,
+                      ) -> Offset:
         """Initial consistent snapshot -> bulk overwrite of the target.
 
         The caller passes a *pinned* source DataFrame (e.g. a lake-table
@@ -172,10 +175,57 @@ class CdcEngine:
         * ``when_needed``  — snapshot iff no completed checkpoint exists
           (same trigger condition as a fresh ``initial``; kept distinct
           for config parity).
+        * ``recovery``     — rebuild a lost schema history from the lake
+          (``LakeTable.recover_schema_history``) WITHOUT reloading data;
+          requires a completed prior snapshot (running it on a fresh
+          pipeline is the misuse the reference warns about).  Rename
+          normalization state is reset — only the current shape is
+          recoverable, as with the reference's rebuilt history topic
+          (``Db2ConnectorIT.java:912-1085`` ALWAYS/RECOVERY tests).
+        * ``configuration_based`` — behavior from ``config`` flags
+          (``snapshot.mode.configuration.based.*``): ``snapshot_data``
+          -> initial-style load, else ``snapshot_schema`` -> ``no_data``
+          offset pin, else skip entirely.
+        * ``custom``       — ``custom(engine, offset)`` returns one of
+          the concrete mode names to run (the reference's pluggable
+          ``CustomSnapshotterIT`` hook).
         """
-        if mode not in ("initial", "initial_only", "no_data", "always",
-                        "when_needed"):
+        modes = ("initial", "initial_only", "no_data", "always",
+                 "when_needed", "recovery", "configuration_based", "custom")
+        if mode not in modes:
             raise ValueError(f"unknown snapshot mode {mode!r}")
+        if mode == "custom":
+            if custom is None:
+                raise ValueError("mode='custom' requires a custom= callable")
+            decided = custom(self, self.checkpoint.read())
+            if decided == "custom" or decided not in modes:
+                raise ValueError(f"custom snapshotter returned {decided!r}")
+            return self.snapshot_load(source, decided, config=config)
+        if mode == "configuration_based":
+            cfg = config or {}
+            if cfg.get("snapshot_data", False):
+                return self.snapshot_load(source, "initial")
+            if cfg.get("snapshot_schema", False):
+                return self.snapshot_load(source, "no_data")
+            self._notify("Initial Snapshot", "SKIPPED",
+                         {"mode": mode, "config": cfg})
+            return self.checkpoint.read()
+        if mode == "recovery":
+            off = self.checkpoint.read()
+            if not off.snapshot_completed:
+                raise ValueError(
+                    "mode='recovery' rebuilds schema history for an "
+                    "existing pipeline; no completed snapshot found — "
+                    "run an initial snapshot instead")
+            self._notify("Initial Snapshot", "STARTED", {"mode": mode})
+            recovered = self.target.recover_schema_history()
+            # rename-normalization state derives from the (now reset)
+            # history: old-instance column names are no longer known
+            self.binlog_renames = {}
+            self._notify("Initial Snapshot", "COMPLETED",
+                         {"mode": mode,
+                          "recovered_columns": [f.name for f in recovered.fields]})
+            return off
         self._streaming_disabled = mode == "initial_only"
         off = self.checkpoint.read()
         if off.snapshot_completed and mode in ("initial", "initial_only",
@@ -217,6 +267,7 @@ class CdcEngine:
         source: DataFrame,
         n_chunks: int = 16,
         position: tuple[int, int] = (0, 0),
+        run_id: str = "",
     ) -> int:
         """Chunked (incremental) snapshot interleaved with streaming — T8.
 
@@ -225,8 +276,12 @@ class CdcEngine:
         rows); Spark has no index, so chunks are **hash slices** of the
         key space (``pmod(xxhash64(pk0), n_chunks)``) — evenly sized with
         no global sort.  Each chunk is MERGEd with a deterministic batch
-        id (``incsnap-<i>``), so an interrupted backfill resumes by
-        skipping completed chunks.
+        id (``incsnap-<run_id>-<i>``), so an interrupted backfill resumes
+        by skipping completed chunks — while a *later* snapshot run
+        (``run_id`` = the triggering signal's id) is a fresh namespace
+        whose chunks apply instead of being dedup-skipped (a legitimate
+        re-backfill, supported by the reference's repeatable
+        ``execute-snapshot`` signal).
 
         Requires a *versioned* target: chunk rows are stamped at
         ``position`` (the LSN the snapshot was read at), so any streamed
@@ -253,7 +308,7 @@ class CdcEngine:
             )
             if self.target.merge_changes(
                 chunk, self.pk_cols, op_col="op", delete_op="d",
-                batch_id=f"incsnap-{i}",
+                batch_id=f"incsnap-{run_id}-{i}" if run_id else f"incsnap-{i}",
                 summary={"operation": "incremental-snapshot", "chunk": i,
                          "n_chunks": n_chunks},
             ):
@@ -362,6 +417,10 @@ class CdcEngine:
                     # stream position, so concurrently streamed newer
                     # changes win regardless of interleaving (T8)
                     position=(off.commit_lsn, 2**62),
+                    # namespace chunk batch ids by the signal id: resuming
+                    # THIS signal skips its completed chunks, while a later
+                    # execute-snapshot signal applies fresh
+                    run_id=str(sig.id),
                 )
             elif kind == "blocking":
                 self._notify("Blocking Snapshot", "STARTED",
@@ -550,12 +609,18 @@ class CdcEngine:
         reference's CAPMON counters (rows processed, position, last
         activity) as one dict."""
         off = self.checkpoint.read()
-        row = self.lineage().agg(
-            F.sum("event_count").alias("events_applied"),
-            F.max("max_applied_lsn").alias("max_applied_lsn"),
-            F.max("watermark").alias("watermark"),
-            F.max("epoch").alias("last_epoch"),
-        ).collect()[0]
+        if not os.path.exists(self.lineage_dir):
+            # fresh engine: nothing applied, no heartbeat yet — report
+            # zeros rather than crash exactly when there's nothing to say
+            row = {"events_applied": 0, "max_applied_lsn": None,
+                   "watermark": None, "last_epoch": None}
+        else:
+            row = self.lineage().agg(
+                F.sum("event_count").alias("events_applied"),
+                F.max("max_applied_lsn").alias("max_applied_lsn"),
+                F.max("watermark").alias("watermark"),
+                F.max("epoch").alias("last_epoch"),
+            ).collect()[0]
         return {
             "events_applied": row["events_applied"] or 0,
             "max_applied_lsn": row["max_applied_lsn"],
@@ -733,14 +798,18 @@ class CdcEngine:
                         tombstones: bool = True,
                         server_name: str = "cdc-engine",
                         db: str = "testdb",
-                        schema_name: str = "cdc") -> DataFrame:
+                        schema_name: str = "cdc",
+                        transaction_block: bool = False) -> DataFrame:
         """S11 as full Debezium records: (table, commit_lsn, intent_seq,
         key, envelope) where ``envelope`` is ``{before, after, source,
         op, ts_ms}`` with the golden nested source struct
         (``Db2SourceInfoStructMaker.java:19-51``, field set/order asserted
         by ``SourceInfoTest.java:86-104``) and ``key`` is the PK struct
         (the Kafka record key).  Tombstone rows carry key + NULL envelope
-        — the log-compaction contract (``Db2ConnectorIT.java:211-215``)."""
+        — the log-compaction contract (``Db2ConnectorIT.java:211-215``).
+        ``transaction_block=True`` adds the per-record ``transaction``
+        struct (``provide.transaction.metadata``,
+        ``TransactionMetadataIT.java:110-117``)."""
         from debezium_connector_db2_spark import __version__
         from debezium_connector_db2_spark.functions.envelope import wrap_envelope
 
@@ -749,6 +818,7 @@ class CdcEngine:
         return wrap_envelope(
             feed, version=__version__, name=server_name, db=db,
             schema_name=schema_name, key_col="key",
+            transaction_block=transaction_block,
         )
 
     def export_events_cloudevents(self, from_lsn: int, to_lsn: int,

@@ -78,11 +78,22 @@ class StreamingCdc:
                 return f.read().strip()
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         rid = uuid.uuid4().hex[:12]
-        tmp = f"{path}.{rid}.tmp"
-        with open(tmp, "w") as f:
-            f.write(rid)
-        os.rename(tmp, path)
-        with open(path) as f:       # racing writer: first rename wins
+        try:
+            # O_CREAT|O_EXCL: exactly one racing writer creates the file;
+            # everyone else gets EEXIST and adopts that writer's id.  (A
+            # rename would OVERWRITE — last writer wins and an early
+            # re-reader could adopt a different id than its peer, making
+            # two queries on one checkpoint namespace batch ids
+            # differently and defeating the duplicate-apply protection.)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, rid.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            pass
+        with open(path) as f:
             return f.read().strip()
 
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:

@@ -111,3 +111,43 @@ def test_heartbeat_record_on_empty_interval(spark, tmpdir_path):
     hb2 = eng.export_events(100, 200, heartbeats=True, with_key=True,
                             transaction_markers=True).collect()
     assert [r.op for r in hb2] == ["h"]
+
+
+def test_transaction_block_orders(spark, tmpdir_path):
+    """provide.transaction.metadata per-record block: total_order counts
+    1..N across the transaction, data_collection_order per table
+    (``TransactionMetadataIT.java:110-117``)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_db2_spark.functions.envelope import wrap_envelope
+
+    # hand-built two-table feed for one transaction (commit_lsn=7):
+    # tablea, tableb, tablea, tableb — like the IT's interleaved inserts
+    img = F.struct(F.lit("x").alias("conv_id"), F.lit(0).alias("turn_idx"),
+                   F.lit(TS).alias("ts"))
+    rows = spark.createDataFrame(
+        [(7, i, t) for i, t in enumerate(["tablea", "tableb",
+                                          "tablea", "tableb"])],
+        "commit_lsn: long, intent_seq: long, table: string")
+    feed = rows.select("commit_lsn", "intent_seq", "table",
+                       F.lit("c").alias("op"),
+                       img.alias("before"), img.alias("after"))
+    out = wrap_envelope(feed, version="0.1.0", name="srv", db="d",
+                        schema_name="s", transaction_block=True)
+    got = sorted(((r.table, r.envelope.transaction.total_order,
+                   r.envelope.transaction.data_collection_order)
+                  for r in out.collect()))
+    assert got == [("tablea", 1, 1), ("tablea", 3, 2),
+                   ("tableb", 2, 1), ("tableb", 4, 2)]
+    tx_ids = {r.envelope.transaction.id for r in out.collect()}
+    assert tx_ids == {"0000000000000007"}
+
+
+def test_engine_envelope_transaction_block(spark, tmpdir_path):
+    eng = _engine(spark, tmpdir_path)
+    rows = eng.export_envelope(1, 3, transaction_block=True).collect()
+    data = [r for r in rows if r.envelope is not None]
+    assert all(r.envelope.transaction.total_order == 1 for r in data), \
+        "single-event transactions: every record is position 1"
+    # tombstones have no envelope hence no transaction block
+    assert any(r.envelope is None for r in rows)

@@ -146,7 +146,11 @@ def test_initial_snapshot_notifications(spark, tmpdir_path):
     assert kinds == [("Initial Snapshot", "STARTED"),
                      ("Initial Snapshot", "COMPLETED"),
                      ("Initial Snapshot", "SKIPPED")]
-    assert [n["id"] for n in notif.read()] == [0, 1, 2]
+    rows = notif.read()
+    assert [n["seq"] for n in rows] == [0, 1, 2]
+    # ids are uuids: unique even across concurrent writers on one log
+    assert len({n["id"] for n in rows}) == 3
+    assert all(len(n["id"]) == 32 for n in rows)
 
 
 def test_bad_signal_does_not_wedge_the_loop(spark, tmpdir_path):
@@ -210,3 +214,40 @@ def test_error_driven_capture_repair(spark, tmpdir_path):
     kinds = [(n["aggregate_type"], n["type"], n["data"].get("table"))
              for n in notif.read()]
     assert ("Capture Repair", "DEREGISTERED", "tableb") in kinds
+
+
+def test_second_execute_snapshot_signal_reapplies(spark, tmpdir_path):
+    """A later execute-snapshot signal is a legitimate re-backfill: its
+    chunks must APPLY, not be skipped by the first run's batch ids
+    (chunk ids are namespaced per signal, ``incsnap-<signal_id>-<i>``)."""
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame([_row(1, 0, "I", "seed", 0, "x")],
+                                    BINLOG_SCHEMA))
+    target = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                              TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                              n_buckets=2, versioned=True)
+    signals = SignalChannel(os.path.join(tmpdir_path, "signals"))
+    notif = NotificationLog(os.path.join(tmpdir_path, "notif.jsonl"))
+    state = {"text": "v1"}
+    eng = CdcEngine(
+        spark, src, target, os.path.join(tmpdir_path, "ck"),
+        signals=signals,
+        snapshot_source=lambda: spark.createDataFrame(
+            [("a", 0, "user", state["text"], None, TS)], TRANSCRIPT_SCHEMA),
+        notifications=notif,
+    )
+    signals.send("execute-snapshot", {"type": "incremental", "n_chunks": 2})
+    eng.run_available()
+    assert {r.text for r in target.read().where("conv_id='a'").collect()} \
+        == {"v1"}
+
+    # the source changed; a SECOND signal re-backfills the new value.
+    # Advance the stream position so the re-snapshot rows (stamped at the
+    # current position) win the versioned argmax over the first run's.
+    src.write(spark.createDataFrame([_row(5, 0, "I", "seed", 1, "y")],
+                                    BINLOG_SCHEMA))
+    state["text"] = "v2"
+    signals.send("execute-snapshot", {"type": "incremental", "n_chunks": 2})
+    eng.run_available()
+    assert {r.text for r in target.read().where("conv_id='a'").collect()} \
+        == {"v2"}, "second snapshot's chunks were dedup-skipped"
