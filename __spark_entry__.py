@@ -652,6 +652,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(items, queries, dim=64, k=5, n_planes=6)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: deterministic coarse quantizer (seeded
+    sample), map-side cell assignment, nprobe cell probes, exact-cosine
+    verify — the inverted-file scale path beside sign-LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    items = emb.where(F.col("vec_id") >= 5)
+    return SIM.ivf_topk(items, queries, k=5, n_cells=8, nprobe=3, seed=11)
+
+
 def q_media_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), kind="image")
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "media_frame_plan": q_media_frame_plan,
         "media_resize_plan": q_media_resize_plan,
@@ -871,6 +882,58 @@ def _lsh_ann_sql(dim: int = 64, k: int = 5, n_planes: int = 6, seed: int = 7) ->
           SELECT DISTINCT query_id, item_id,
                  round({_COS_SQL}, 4) AS cos
           FROM it JOIN q USING (bucket)
+          WHERE item_id != query_id)
+        SELECT query_id, item_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, item_id ASC) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _ivf_ann_sql(dim: int = 64, k: int = 5, n_cells: int = 8,
+                 nprobe: int = 3, seed: int = 11) -> str:
+    """Mirror of ``ivf_topk`` including centroid selection, nearest-cell
+    assignment and nprobe probing, so the green row certifies the
+    inverted-file plan (not a brute-force shortcut)."""
+    h = h60_sql(f"'cent{seed}:' || CAST(vec_id AS VARCHAR)")
+    cnorm = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+             f" i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))")
+
+    def dot_c(vec: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> CAST({vec}[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))")
+
+    return f"""
+        WITH cent0 AS (
+          SELECT vec_id AS cent_id, embedding AS cvec
+          FROM embeddings WHERE vec_id >= 5
+          ORDER BY {h}, vec_id LIMIT {n_cells}),
+        cent AS (SELECT cent_id, cvec, {cnorm} AS cnorm FROM cent0),
+        it0 AS (SELECT vec_id AS item_id, embedding AS ivec
+                FROM embeddings WHERE vec_id >= 5),
+        iass AS (
+          SELECT item_id, ivec, cent_id,
+                 {dot_c('ivec')} / cnorm AS s
+          FROM it0 CROSS JOIN cent),
+        it AS (
+          SELECT item_id, ivec, cent_id AS cell FROM iass
+          QUALIFY row_number() OVER (PARTITION BY item_id
+                                     ORDER BY s DESC, cent_id ASC) = 1),
+        q0 AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+        qass AS (
+          SELECT query_id, qvec, cent_id,
+                 {dot_c('qvec')} / cnorm AS s
+          FROM q0 CROSS JOIN cent),
+        q AS (
+          SELECT query_id, qvec, cent_id AS cell FROM qass
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, cent_id ASC)
+                  <= {nprobe}),
+        scored AS (
+          SELECT DISTINCT query_id, item_id,
+                 round({_COS_SQL}, 4) AS cos
+          FROM it JOIN q USING (cell)
           WHERE item_id != query_id)
         SELECT query_id, item_id, cos,
                row_number() OVER (PARTITION BY query_id
@@ -1281,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(60, 3, 400),
         "dedup_minhash_lsh": _minhash_sql(8, 4, 0.2),
         "ann_lsh_topk": _lsh_ann_sql(64, 5, 6, 7),
+        "ann_ivf_topk": _ivf_ann_sql(64, 5, 8, 3, 11),
         "dedup_embedding_cosine": _embedding_dedup_sql(64, 0.4, 4, 7, 400),
         "text_sessionize": """
             WITH s0 AS (

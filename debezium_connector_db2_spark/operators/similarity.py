@@ -182,3 +182,103 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_centroids(
+    items: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 8, seed: int = 11,
+) -> list[tuple]:
+    """IVF coarse quantizer: ``n_cells`` centroid vectors chosen as a
+    deterministic pseudo-random sample (smallest portable hash of the
+    id).  Real IVF trains k-means; the seeded sample is the standard
+    cheap initializer and keeps the DuckDB oracle exact.  Returns
+    driver-side ``[(cent_id, [components], norm)]`` — the bounded "model
+    artifact" (n_cells rows), embedded in the plan as literals the way
+    FAISS ships its coarse quantizer to every worker.
+    """
+    from debezium_connector_db2_spark.functions.hashing import h60
+
+    rows = (items
+            .select(F.col(id_col).alias("cent_id"),
+                    F.col(vec_col).alias("cvec"),
+                    h60(F.concat(F.lit(f"cent{seed}:"),
+                                 F.col(id_col).cast("string"))).alias("h"))
+            .orderBy("h", "cent_id").limit(n_cells).collect())
+    out = []
+    for r in rows:
+        comps = [float(x) for x in r.cvec]
+        # left-fold in index order — the same IEEE op sequence as the
+        # engine/oracle folds, so the literal matches bit-for-bit
+        acc = 0.0
+        for x in comps:
+            acc += x * x
+        out.append((r.cent_id, comps, math.sqrt(acc)))
+    return out
+
+
+def _cell_scores(vec_col, cents) -> F.Column:
+    """Array of struct(score, -cent_id) per centroid; score = dot/|c|
+    (the row's own norm is constant across cells, so it can't change the
+    argmax and is left out).  All-literal centroid arrays keep this one
+    map-side pass with zero shuffle."""
+    return F.array(*[
+        F.struct(
+            (_dot(vec_col, F.array(*[F.lit(c) for c in comps]))
+             / F.lit(cnorm)).alias("s"),
+            F.lit(-cent_id).cast("long").alias("ncid"),
+        )
+        for cent_id, comps, cnorm in cents
+    ])
+
+
+def ivf_topk(
+    items: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 10, n_cells: int = 8, nprobe: int = 3,
+    seed: int = 11, round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path beside
+    ``lsh_ann_topk``.
+
+    Index: every item is assigned to its nearest centroid cell (one
+    map-side pass over the literal coarse quantizer — no shuffle).
+    Search: each query probes its ``nprobe`` nearest cells; candidates
+    come from cell equi-joins with the (broadcast) query set, verified
+    with the exact cosine, top-k per query.  Probing cost is
+    ``nprobe/n_cells`` of the corpus per query instead of all of it; at
+    10^10 vectors the cell assignment is a one-off index column you would
+    persist alongside the embedding.
+    Output: (query_id, item_id, cos, rank).
+    """
+    cents = ivf_centroids(items, id_col, vec_col, n_cells, seed)
+
+    it = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("ivec")
+    ).withColumn(
+        "cell",
+        -F.array_max(_cell_scores(F.col("ivec"), cents))["ncid"],
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn(
+        "__top",
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("qvec"), cents))),
+                1, nprobe),
+    ).select("query_id", "qvec", F.explode("__top").alias("__probe")) \
+     .withColumn("cell", -F.col("__probe.ncid")).drop("__probe")
+
+    scored = (
+        it.join(F.broadcast(q), "cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id", "item_id",
+            F.round(cosine_expr(F.col("ivec"), F.col("qvec")),
+                    round_to).alias("cos"),
+        )
+        .distinct()  # an item's cell may be probed once per query only,
+        # but keep the same contract as the LSH path
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
