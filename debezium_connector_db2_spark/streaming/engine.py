@@ -298,6 +298,21 @@ class CdcEngine:
         self._notify("Incremental Snapshot", "STARTED",
                      {"table": self.table, "n_chunks": n_chunks})
         for i in range(n_chunks):
+            # stop-snapshot signal (Debezium's abort action): polled
+            # between chunks, so an operator can cancel a mistaken or
+            # runaway backfill without killing the stream.  Only signals
+            # sent AFTER the triggering one count (seq-prefixed ids are
+            # send-ordered), so a stale stop can't cancel a later run.
+            stop = self._pending_stop_signal(after_id=run_id)
+            if stop is not None:
+                done = self._signals_done()
+                done.add(stop.id)
+                self._mark_signal_done(done)
+                self._notify("Incremental Snapshot", "ABORTED",
+                             {"table": self.table, "signal_id": stop.id,
+                              "chunks_applied": applied,
+                              "chunks_remaining": n_chunks - i})
+                return applied
             chunk = source.where(
                 F.pmod(F.xxhash64(F.col(pk0)), F.lit(n_chunks)) == i
             ).select(
@@ -371,9 +386,11 @@ class CdcEngine:
         """
         if self.signals is None:
             return 0
-        done = self._signals_done()
         ran = 0
         for sig in self.signals.poll():
+            # re-read per signal: a handler may itself consume a later
+            # signal mid-action (stop-snapshot aborting a chunk loop)
+            done = self._signals_done()
             if sig.id in done:
                 continue
             try:
@@ -393,6 +410,18 @@ class CdcEngine:
             self._mark_signal_done(done)
             ran += 1
         return ran
+
+    def _pending_stop_signal(self, after_id: str = ""):
+        """First unconsumed ``stop-snapshot`` signal sent after
+        ``after_id`` (the in-progress snapshot's triggering signal)."""
+        if self.signals is None:
+            return None
+        done = self._signals_done()
+        for sig in self.signals.poll():
+            if (sig.type == "stop-snapshot" and sig.id not in done
+                    and sig.id > after_id):
+                return sig
+        return None
 
     def _handle_signal(self, sig) -> None:
         if sig.type == "execute-snapshot":
@@ -430,6 +459,13 @@ class CdcEngine:
                              {"table": self.table})
             else:
                 raise ValueError(f"unknown snapshot kind {kind!r}")
+        elif sig.type == "stop-snapshot":
+            # consumed from inside the chunk loop when a snapshot is in
+            # progress; reaching here means there is nothing to stop —
+            # surface and move on (the reference logs the same)
+            self._notify("Incremental Snapshot", "SKIPPED",
+                         {"signal_id": sig.id,
+                          "reason": "no snapshot in progress"})
         elif sig.type == "pause":
             self._set_paused(True)
             self._notify("Signal", "PAUSED", {"signal_id": sig.id})

@@ -251,3 +251,49 @@ def test_second_execute_snapshot_signal_reapplies(spark, tmpdir_path):
     eng.run_available()
     assert {r.text for r in target.read().where("conv_id='a'").collect()} \
         == {"v2"}, "second snapshot's chunks were dedup-skipped"
+
+
+def test_stop_snapshot_signal_aborts_chunk_loop(spark, tmpdir_path):
+    """Debezium's stop-snapshot action: a stop signal sent after an
+    execute-snapshot cancels the remaining chunks mid-loop; a stale stop
+    (sent before) cannot cancel a later snapshot; a stop with nothing
+    running is surfaced as SKIPPED."""
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame([_row(1, 0, "I", "seed", 0, "x")],
+                                    BINLOG_SCHEMA))
+    target = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                              TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                              n_buckets=2, versioned=True)
+    signals = SignalChannel(os.path.join(tmpdir_path, "signals"))
+    notif = NotificationLog(os.path.join(tmpdir_path, "notif.jsonl"))
+    eng = CdcEngine(
+        spark, src, target, os.path.join(tmpdir_path, "ck"),
+        signals=signals,
+        snapshot_source=lambda: spark.createDataFrame(
+            [(f"c{i}", 0, "user", "t", None, TS) for i in range(8)],
+            TRANSCRIPT_SCHEMA),
+        notifications=notif,
+    )
+    # stop sent AFTER execute: chunk loop sees it on its first poll and
+    # aborts before applying anything
+    signals.send("execute-snapshot", {"type": "incremental", "n_chunks": 4})
+    signals.send("stop-snapshot", {"type": "incremental"})
+    eng.run_available()
+    kinds = [(n["aggregate_type"], n["type"]) for n in notif.read()]
+    assert ("Incremental Snapshot", "ABORTED") in kinds
+    assert target.read().where("conv_id LIKE 'c%'").count() == 0
+
+    # a NEW execute-snapshot is not cancelled by the (consumed) old stop
+    signals.send("execute-snapshot", {"type": "incremental", "n_chunks": 4})
+    eng.run_available()
+    assert target.read().where("conv_id LIKE 'c%'").count() == 8
+    kinds = [(n["aggregate_type"], n["type"]) for n in notif.read()]
+    assert ("Incremental Snapshot", "COMPLETED") in kinds
+
+    # a stop with no snapshot in progress is surfaced, not fatal
+    signals.send("stop-snapshot")
+    eng.run_available()
+    skipped = [n for n in notif.read()
+               if n["type"] == "SKIPPED"
+               and n["aggregate_type"] == "Incremental Snapshot"]
+    assert skipped and skipped[-1]["data"]["reason"] == "no snapshot in progress"
