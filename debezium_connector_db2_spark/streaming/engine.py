@@ -989,6 +989,40 @@ class SimulatedCrash(RuntimeError):
     """Raised by the crash-injection test hook."""
 
 
+def export_envelope_multi(
+    engines: dict[str, "CdcEngine"], from_lsn: int, to_lsn: int,
+    tombstones: bool = True, transaction_block: bool = True,
+    server_name: str = "cdc-engine", db: str = "testdb",
+    schema_name: str = "cdc",
+) -> DataFrame:
+    """Cross-table transaction-aware envelope feed.
+
+    Per-table engines each see only their own slice of a transaction; the
+    reference's transaction block counts across ALL tables of the commit
+    (``TransactionMetadataIT.java:104-117``: counter 1..2N over two
+    tables, per-table counter (c+1)/2).  This helper unions the tables'
+    feeds *before* wrapping, so ``total_order`` spans the commit and
+    ``data_collection_order`` stays per table.  Requires the tables to
+    share a payload schema (true for the shared-binlog multi-table setup,
+    S4); the engines must share a binlog position space.
+    """
+    from debezium_connector_db2_spark import __version__
+    from debezium_connector_db2_spark.functions.envelope import wrap_envelope
+
+    feed = None
+    for eng in engines.values():
+        part = eng.export_events(from_lsn, to_lsn, tombstones=tombstones,
+                                 with_key=True)
+        feed = part if feed is None else feed.unionByName(part)
+    if feed is None:
+        raise ValueError("export_envelope_multi: no engines given")
+    return wrap_envelope(
+        feed, version=__version__, name=server_name, db=db,
+        schema_name=schema_name, key_col="key",
+        transaction_block=transaction_block,
+    )
+
+
 def run_all_with_repair(
     engines: dict[str, "CdcEngine"],
     registry=None,

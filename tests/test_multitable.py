@@ -78,3 +78,37 @@ def test_compact_reduces_file_count(spark, tmpdir_path):
     m2 = t.manifest()
     assert all(len(ents) == 1 for ents in m2["files"].values())
     assert t.read().count() == 4
+
+
+def test_cross_table_transaction_block(spark, tmpdir_path):
+    """export_envelope_multi: the transaction block spans the commit's
+    tables — total_order 1..2N interleaved, data_collection_order
+    (c+1)/2 per table (``TransactionMetadataIT.java:104-117``)."""
+    from debezium_connector_db2_spark.streaming.engine import (
+        export_envelope_multi,
+    )
+
+    # one transaction (lsn=7) interleaving two tables, like the IT
+    rows = [
+        _row(7, 0, "I", "tablea", "a", 0, "a0"),
+        _row(7, 1, "I", "tableb", "b", 0, "b0"),
+        _row(7, 2, "I", "tablea", "a", 1, "a1"),
+        _row(7, 3, "I", "tableb", "b", 1, "b1"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    engines = {}
+    for name in ("tablea", "tableb"):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, name),
+                             TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                             n_buckets=2)
+        engines[name] = CdcEngine(spark, src, t,
+                                  os.path.join(tmpdir_path, f"ck-{name}"),
+                                  table=name)
+    out = export_envelope_multi(engines, 7, 7).collect()
+    by_seq = sorted(out, key=lambda r: r.intent_seq)
+    got = [(r.table, r.envelope.transaction.total_order,
+            r.envelope.transaction.data_collection_order) for r in by_seq]
+    assert got == [("tablea", 1, 1), ("tableb", 2, 1),
+                   ("tablea", 3, 2), ("tableb", 4, 2)]
+    assert {r.envelope.transaction.id for r in out} == {"0000000000000007"}
