@@ -182,6 +182,39 @@ def q_cdc_update_pairing(spark, sf_dir):
     )
 
 
+def q_cdc_pk_update_split(spark, sf_dir):
+    """T6: an update pair whose key changed is emitted as delete(old key)
+    + insert(new key); same-key pairs collapse to one update
+    (``classify.to_change_events`` split; the reference re-keys the Kafka
+    record the same way on PK updates)."""
+    cl = _classified(spark, sf_dir)
+    w = Window.partitionBy("commit_lsn").orderBy("intent_seq")
+    paired = (cl.withColumn("bkey", F.lag("key").over(w))
+              .withColumn("bval", F.lag("val").over(w))
+              .where(F.col("opcode") == 4))
+    same = paired.where(F.col("bkey") == F.col("key")).select(
+        "commit_lsn", (F.col("intent_seq") * 2).alias("seq"),
+        F.lit("u").alias("op"), "key", "val")
+    d = paired.where(F.col("bkey") != F.col("key")).select(
+        "commit_lsn", (F.col("intent_seq") * 2).alias("seq"),
+        F.lit("d").alias("op"),
+        F.col("bkey").alias("key"), F.col("bval").alias("val"))
+    c = paired.where(F.col("bkey") != F.col("key")).select(
+        "commit_lsn", (F.col("intent_seq") * 2 + 1).alias("seq"),
+        F.lit("c").alias("op"), "key", "val")
+    return same.unionByName(d).unionByName(c)
+
+
+def q_cdc_lsn_timestamp(spark, sf_dir):
+    """S9: commit LSN -> commit instant (UOW lookup,
+    ``Db2Connection.java:240-263``) — min event ts per commit, rendered
+    as exact epoch millis."""
+    cap = _capture(spark, sf_dir).where(F.col("commit_lsn") <= 200)
+    return cap.groupBy("commit_lsn").agg(
+        (F.unix_micros(F.min("ts").cast("timestamp")) / F.lit(1000))
+        .cast("long").alias("commit_ts_ms"))
+
+
 def q_cdc_lsn_range(spark, sf_dir):
     cap = _capture(spark, sf_dir)
     return cap.where((F.col("commit_lsn") >= 100) & (F.col("commit_lsn") <= 160)) \
@@ -697,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
         "cdc_opcode_classify": q_cdc_opcode_classify,
         "cdc_update_pairing": q_cdc_update_pairing,
+        "cdc_pk_update_split": q_cdc_pk_update_split,
+        "cdc_lsn_timestamp": q_cdc_lsn_timestamp,
         "cdc_lsn_range": q_cdc_lsn_range,
         "cdc_restart_filter": q_cdc_restart_filter,
         "cdc_max_lsn_probe": q_cdc_max_lsn_probe,
@@ -1015,6 +1050,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_CLASSIFIED_SQL})
             WINDOW w AS (PARTITION BY commit_lsn ORDER BY intent_seq)
             QUALIFY opcode = 4
+        """,
+        "cdc_pk_update_split": f"""
+            WITH paired AS (
+              SELECT commit_lsn, intent_seq, key, val,
+                     lag(key) OVER w AS bkey,
+                     lag(val) OVER w AS bval
+              FROM ({_CLASSIFIED_SQL})
+              WINDOW w AS (PARTITION BY commit_lsn ORDER BY intent_seq)
+              QUALIFY opcode = 4)
+            SELECT commit_lsn, intent_seq * 2 AS seq, 'u' AS op, key, val
+            FROM paired WHERE bkey = key
+            UNION ALL
+            SELECT commit_lsn, intent_seq * 2 AS seq, 'd' AS op,
+                   bkey AS key, bval AS val
+            FROM paired WHERE bkey != key
+            UNION ALL
+            SELECT commit_lsn, intent_seq * 2 + 1 AS seq, 'c' AS op, key, val
+            FROM paired WHERE bkey != key
+        """,
+        "cdc_lsn_timestamp": f"""
+            SELECT commit_lsn,
+                   epoch_us(min(ts)) // 1000 AS commit_ts_ms
+            FROM ({_CAPTURE_SQL})
+            WHERE commit_lsn <= 200 GROUP BY commit_lsn
         """,
         "cdc_lsn_range": f"""
             SELECT event_id, commit_lsn, intent_seq, op, key, val
