@@ -73,3 +73,22 @@ def test_engine_maintain_housekeeping(spark, tmpdir_path):
             & (F.col("__commit_lsn") < eng.checkpoint.read().commit_lsn)
         ).count() == 0
     assert_df_equal(t.read(), oracle_final_state(snap, binlog), PK_COLS)
+
+def test_metrics_on_fresh_engine_returns_zeros(spark, tmpdir_path):
+    """A fresh engine (no batch or heartbeat yet) must report zeros, not
+    crash on the missing lineage dir."""
+    import os
+
+    from debezium_connector_db2_spark.lake import LakeTable
+    from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
+    from debezium_connector_db2_spark.sources.binlog import BinlogSource
+    from debezium_connector_db2_spark.streaming.engine import CdcEngine
+
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    m = eng.metrics()
+    assert m["events_applied"] == 0
+    assert m["max_applied_lsn"] is None and m["last_epoch"] is None
+    assert m["paused"] is False
