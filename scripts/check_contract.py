@@ -63,9 +63,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
-            srows = sorted(
-                [tuple(norm(v) for v in r) for r in sdf.select(*scols).collect()]
-            )
+            sraw = [tuple(r) for r in sdf.select(*scols).collect()]
+            srows = sorted([tuple(norm(v) for v in r) for r in sraw])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
@@ -79,9 +78,8 @@ def main():
             ocols_raw = rel.columns
             order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
             ocols = [ocols_raw[i] for i in order]
-            orows = sorted(
-                [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
-            )
+            oraw = [tuple(r[i] for i in order) for r in rel.fetchall()]
+            orows = sorted([tuple(norm(v) for v in r) for r in oraw])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             n_fail += 1
@@ -90,6 +88,22 @@ def main():
             print(f"FAIL  {name}: columns {scols} vs {ocols}")
             n_fail += 1
             continue
+        # Type audit: the str-normalization above can hide renderings the
+        # driver's (arrow/pandas-based) hash distinguishes — e.g. a Spark
+        # DECIMAL arriving as Decimal('3881.70') vs DuckDB's float64
+        # 3881.7 (the one red cell of round 2).  Flag any column whose
+        # Python value types differ between engines.
+        if srows and orows:
+            for ci, col in enumerate(scols):
+                st = next((type(r[ci]).__name__ for r in sraw
+                           if r[ci] is not None), None)
+                ot = next((type(r[ci]).__name__ for r in oraw
+                           if r[ci] is not None), None)
+                if st and ot and st != ot and {st, ot} != {"int", "bool"}:
+                    print(f"WARN  {name}.{col}: value types differ "
+                          f"(spark={st}, oracle={ot}) — str-normalized "
+                          f"compare may pass where the driver's hash "
+                          f"fails; align the types in both engines")
         if srows != orows:
             only_s = [r for r in srows if r not in set(orows)][:3]
             only_o = [r for r in orows if r not in set(srows)][:3]
