@@ -151,3 +151,49 @@ def wrap_envelope(
     if key_col is not None:
         cols.append(key_col)
     return feed.select(*cols, envelope.alias("envelope"))
+
+
+def skip_operations(feed: DataFrame, skipped: str | set[str]) -> DataFrame:
+    """Debezium core's ``skipped.operations`` (inherited by the Db2
+    connector's config surface — ``Db2ConnectorConfig.java:47`` extends
+    the common config): drop the listed op codes from a feed before
+    publishing.  Accepts the wire spelling (``"d,u"``) or a set.
+    Skipping ``d`` also drops the delete's tombstone row (op='t') — a
+    tombstone without its delete is meaningless to a compacting consumer.
+    """
+    if isinstance(skipped, str):
+        ops = {o.strip() for o in skipped.split(",") if o.strip()}
+    else:
+        ops = set(skipped)
+    if "d" in ops:
+        ops.add("t")
+    return feed.where(~F.col("op").isin(*ops))
+
+
+def unwrap_envelope(records: DataFrame, drop_deletes: bool = False) -> DataFrame:
+    """The ExtractNewRecordState SMT (Debezium's "unwrap" transform, the
+    standard consumer-side flattening): one flat row per record — the
+    after-image's columns at top level plus ``__op/__table/__lsn/__ts_ms``
+    metadata.
+
+    Delete handling mirrors the SMT's ``delete.handling.mode``:
+    ``drop_deletes=False`` (rewrite) keeps deletes as rows flattened from
+    the *before* image with ``__deleted = true``; ``True`` drops them.
+    Tombstone records (null envelope) are always dropped — they exist for
+    log compaction, not for tabular consumers.
+    """
+    data = records.where(F.col("envelope").isNotNull())
+    if drop_deletes:
+        data = data.where(F.col("envelope.op") != "d")
+    img = F.coalesce(F.col("envelope.after"), F.col("envelope.before"))
+    payload = [img[f.name].alias(f.name)
+               for f in records.schema["envelope"].dataType["after"]
+               .dataType.fields]
+    return data.select(
+        *payload,
+        (F.col("envelope.op") == "d").alias("__deleted"),
+        F.col("envelope.op").alias("__op"),
+        F.col("table").alias("__table"),
+        F.col("commit_lsn").alias("__lsn"),
+        F.col("envelope.ts_ms").alias("__ts_ms"),
+    )

@@ -151,3 +151,32 @@ def test_engine_envelope_transaction_block(spark, tmpdir_path):
         "single-event transactions: every record is position 1"
     # tombstones have no envelope hence no transaction block
     assert any(r.envelope is None for r in rows)
+
+
+def test_skip_operations_and_unwrap(spark, tmpdir_path):
+    """skipped.operations drops the listed op codes (a skipped delete
+    takes its tombstone with it); unwrap_envelope is the
+    ExtractNewRecordState SMT — flat after-image rows with __-metadata,
+    deletes rewritten from the before image or dropped."""
+    from debezium_connector_db2_spark.functions.envelope import (
+        skip_operations,
+        unwrap_envelope,
+    )
+
+    eng = _engine(spark, tmpdir_path)
+    feed = eng.export_events(1, 3, tombstones=True)
+    assert sorted(r.op for r in feed.collect()) == ["c", "c", "d", "t"]
+    assert sorted(r.op for r in skip_operations(feed, "d").collect()) \
+        == ["c", "c"]
+    assert sorted(r.op for r in skip_operations(feed, {"c"}).collect()) \
+        == ["d", "t"]
+
+    records = eng.export_envelope(1, 3)
+    flat = unwrap_envelope(records).orderBy("__lsn").collect()
+    assert [(r.conv_id, r["__op"], r["__deleted"]) for r in flat] == [
+        ("a", "c", False), ("a", "d", True), ("b", "c", False)]
+    assert flat[0].text == "hello" and flat[0]["__table"] == "transcripts"
+    assert flat[1].text == "hello"          # rewritten from before image
+    kept = unwrap_envelope(records, drop_deletes=True).collect()
+    assert sorted(r.conv_id for r in kept) == ["a", "b"]
+    assert all(not r["__deleted"] for r in kept)
