@@ -27,11 +27,18 @@ from debezium_connector_db2_spark.schemas import (
 from debezium_connector_db2_spark.lake import LakeTable
 from debezium_connector_db2_spark.sources.binlog import BinlogSource
 from debezium_connector_db2_spark.sources.registry import CaptureRegistry
+from debezium_connector_db2_spark.functions.envelope import (
+    skip_operations,
+    unwrap_envelope,
+    wrap_envelope,
+)
 from debezium_connector_db2_spark.streaming.engine import (
     CdcEngine,
     SchemaChange,
+    export_envelope_multi,
     run_all_with_repair,
 )
+from debezium_connector_db2_spark.streaming.feed import FeedPublisher
 from debezium_connector_db2_spark.streaming.notifications import NotificationLog
 from debezium_connector_db2_spark.streaming.signals import SignalChannel
 
@@ -44,8 +51,13 @@ __all__ = [
     "CdcEngine",
     "SchemaChange",
     "run_all_with_repair",
+    "export_envelope_multi",
+    "FeedPublisher",
     "NotificationLog",
     "SignalChannel",
+    "wrap_envelope",
+    "unwrap_envelope",
+    "skip_operations",
 ]
 
 __version__ = "0.1.0"
