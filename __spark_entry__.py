@@ -182,6 +182,22 @@ def q_cdc_update_pairing(spark, sf_dir):
     )
 
 
+def q_cdc_table_filter(spark, sf_dir):
+    """F1: table include/exclude lists
+    (``Db2StreamingChangeEventSource.java:358-368``) — the synthetic
+    event_type plays the table name; include minus exclude."""
+    from debezium_connector_db2_spark.operators.filters import (
+        exclude_tables,
+        include_tables,
+    )
+
+    cap = _capture(spark, sf_dir).withColumn("table", F.col("event_type"))
+    kept = exclude_tables(include_tables(cap, ["click", "view", "error"]),
+                          ["error"])
+    return kept.select("event_id", "commit_lsn", "intent_seq", "op",
+                       F.col("table").alias("tbl"))
+
+
 def q_cdc_pk_update_split(spark, sf_dir):
     """T6: an update pair whose key changed is emitted as delete(old key)
     + insert(new key); same-key pairs collapse to one update
@@ -730,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
         "cdc_opcode_classify": q_cdc_opcode_classify,
         "cdc_update_pairing": q_cdc_update_pairing,
+        "cdc_table_filter": q_cdc_table_filter,
         "cdc_pk_update_split": q_cdc_pk_update_split,
         "cdc_lsn_timestamp": q_cdc_lsn_timestamp,
         "cdc_lsn_range": q_cdc_lsn_range,
@@ -1050,6 +1067,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_CLASSIFIED_SQL})
             WINDOW w AS (PARTITION BY commit_lsn ORDER BY intent_seq)
             QUALIFY opcode = 4
+        """,
+        "cdc_table_filter": f"""
+            SELECT event_id, commit_lsn, intent_seq, op,
+                   event_type AS tbl
+            FROM ({_CAPTURE_SQL})
+            WHERE event_type IN ('click', 'view', 'error')
+              AND event_type NOT IN ('error')
         """,
         "cdc_pk_update_split": f"""
             WITH paired AS (
