@@ -33,20 +33,44 @@ from pyspark.sql import DataFrame
 
 class FeedPublisher:
     def __init__(self, engine, feed_dir: str, tombstones: bool = True,
-                 transaction_block: bool = False, **envelope_kwargs):
+                 transaction_block: bool = False, heartbeats: bool = False,
+                 **envelope_kwargs):
         self.engine = engine
         self.dir = os.path.abspath(feed_dir)
         self.tombstones = tombstones
         self.transaction_block = transaction_block
+        #: publish empty batches as heartbeat records on the sibling
+        #: heartbeat topic (``<feed_dir>-heartbeats``) — the reference
+        #: emits heartbeat-topic records so downstream liveness monitors
+        #: see idle ticks (Debezium core heartbeat wiring; idle probe
+        #: mirrors ``Db2StreamingChangeEventSource.java:147-152``)
+        self.heartbeats = heartbeats
+        self.hb_dir = self.dir + "-heartbeats"
         self.envelope_kwargs = envelope_kwargs
         os.makedirs(self.dir, exist_ok=True)
 
     def publish(self, m) -> str | None:
         """Publish one applied batch's envelope records; engine
         ``on_batch`` hook.  Returns the segment path, or None for an
-        empty/replayed batch."""
+        empty/replayed batch (empty batches become heartbeat records when
+        ``heartbeats=True``)."""
         if m.events == 0:
-            return None
+            if not self.heartbeats:
+                return None
+            os.makedirs(self.hb_dir, exist_ok=True)
+            seg = f"hb-{m.epoch:08d}-{m.to_lsn}"
+            final = os.path.join(self.hb_dir, seg)
+            if os.path.exists(final):
+                return None
+            hb = self.engine.spark.range(1).selectExpr(
+                f"CAST({m.epoch} AS LONG) AS epoch",
+                f"CAST({m.to_lsn} AS LONG) AS lsn",
+                "'h' AS op")
+            tmp = os.path.join(self.hb_dir,
+                               f".tmp-{seg}-{uuid.uuid4().hex[:8]}")
+            hb.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, final)
+            return final
         seg = f"seg-{m.epoch:08d}-{m.from_lsn}-{m.to_lsn}"
         final = os.path.join(self.dir, seg)
         if os.path.exists(final):
@@ -74,3 +98,13 @@ class FeedPublisher:
             raise ValueError(f"feed {self.dir} has no published segments")
         return (self.engine.spark.read.parquet(*segs)
                 .orderBy("commit_lsn", "intent_seq"))
+
+    def read_heartbeats(self) -> DataFrame:
+        """The heartbeat topic (epoch, lsn, op='h'), epoch-ordered."""
+        segs = sorted(
+            os.path.join(self.hb_dir, d) for d in os.listdir(self.hb_dir)
+            if d.startswith("hb-")
+        ) if os.path.isdir(self.hb_dir) else []
+        if not segs:
+            raise ValueError(f"{self.hb_dir} has no heartbeat segments")
+        return self.engine.spark.read.parquet(*segs).orderBy("epoch")

@@ -69,3 +69,28 @@ def test_feed_publisher_skips_empty_batches(spark, tmpdir_path):
     assert pub.publish(M) is None
     eng.run_available(on_batch=pub.publish)
     assert len(pub.segments()) == 1
+
+
+def test_feed_heartbeat_topic_for_empty_batches(spark, tmpdir_path):
+    """heartbeats=True publishes empty batches as records on the sibling
+    heartbeat topic, so liveness monitors see idle ticks via the feed."""
+    rows = [_row(1, 0, "I", "a", 0, "x"), _row(50, 0, "I", "b", 0, "y")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=4)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=10)   # LSN gap -> an empty batch
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"),
+                        heartbeats=True)
+    batches = eng.run_available(on_batch=pub.publish)
+    assert any(m.events == 0 for m in batches)
+    hb = pub.read_heartbeats().collect()
+    assert len(hb) >= 1 and all(r.op == "h" for r in hb)
+    # data rows still land only on the data feed
+    assert pub.read().count() == 2
+    # replaying the empty batch publishes nothing new (idempotent)
+    n = len(hb)
+    for m in batches:
+        pub.publish(m)
+    assert len(pub.read_heartbeats().collect()) == n
