@@ -645,6 +645,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                                   max_shingle_df=NGRAM_MAX_SHINGLE_DF)
 
 
+def q_dedup_cluster_keepers(spark, sf_dir):
+    """Near-dup pairs -> connected components -> keeper per cluster: the
+    step that turns pair lists into an actionable dedup decision
+    (``dedup_clusters``: distributed min-label propagation, O(diameter)
+    join rounds; oracle: recursive transitive closure over the same
+    pair set)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
+                                   threshold=0.2,
+                                   max_shingle_df=NGRAM_MAX_SHINGLE_DF)
+    return DD.dedup_clusters(pairs)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", k_shingle=2,
@@ -779,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_sessionize": q_text_sessionize,
@@ -1053,6 +1067,29 @@ def _embedding_dedup_sql(dim: int = 64, threshold: float = 0.4,
 def oracle_sql() -> dict[str, str]:
     fpq = TX.fingerprint_sql("text")
     sh2 = TX.word_shingles_sql("text", 2)
+    # shared by dedup_ngram_jaccard and dedup_cluster_keepers (the
+    # cluster oracle must see the exact same pair set)
+    ngram_pairs_sql = f"""
+            WITH sh0 AS (
+              SELECT doc_id, unnest({sh2}) AS shingle FROM documents),
+            -- same document-frequency skew guard as the Spark plan
+            sh AS (
+              SELECT doc_id, shingle FROM sh0
+              QUALIFY count(*) OVER (PARTITION BY shingle)
+                      <= {NGRAM_MAX_SHINGLE_DF}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
+    """
     sql = {
         "cdc_last_writer_wins": _LWW_SQL,
         "cdc_last_writer_wins_salted": _LWW_SQL,
@@ -1362,26 +1399,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {TX.lang_id_sql('text')} AS lang_pred FROM documents
         """,
         "doc_fingerprint": f"SELECT doc_id, {fpq} AS fp FROM documents",
-        "dedup_ngram_jaccard": f"""
-            WITH sh0 AS (
-              SELECT doc_id, unnest({sh2}) AS shingle FROM documents),
-            -- same document-frequency skew guard as the Spark plan
-            sh AS (
-              SELECT doc_id, shingle FROM sh0
-              QUALIFY count(*) OVER (PARTITION BY shingle)
-                      <= {NGRAM_MAX_SHINGLE_DF}),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b USING (shingle)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
+        "dedup_ngram_jaccard": ngram_pairs_sql,
+        "dedup_cluster_keepers": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs_sql}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS doc FROM edges),
+            reach(doc, r) AS (
+              SELECT doc, doc FROM nodes
+              UNION
+              SELECT e.src, reach.r
+              FROM edges e JOIN reach ON e.dst = reach.doc)
+            SELECT doc AS doc_id,
+                   min(r) AS cluster_id,
+                   (min(r) = doc) AS is_keeper
+            FROM reach GROUP BY doc
         """,
         "media_decode": f"""
             SELECT doc_id AS media_id,

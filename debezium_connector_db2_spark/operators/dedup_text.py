@@ -335,3 +335,65 @@ def oversized_chunk_buckets(
         cdf.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > max_bucket_size)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pair lists into an actionable dedup decision: ``(doc_id, cluster_id,
+    is_keeper)`` where ``cluster_id`` is the smallest doc id reachable
+    through pair edges and the keeper is the cluster's minimum.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors'; labels only decrease, so the fixpoint
+    (sum of labels unchanged) is the exact component minimum.  Rounds
+    needed = O(cluster diameter); near-dup components are dense and
+    shallow (a boilerplate cluster is diameter ~2), so this is a handful
+    of join+agg rounds, each a single shuffle on doc id — never a
+    driver-side graph.  Docs that appear in no pair are absent (they are
+    their own keeper by definition).  Raises after ``max_iters`` without
+    convergence rather than returning silently-partial clusters.
+
+    Caches: the edge list and final labels are scoped to the returned
+    result (pin_for_result); per-round intermediates are released
+    eagerly inside the loop.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (sym.select(F.col("src").alias("doc")).distinct()
+              .withColumn("label", F.col("doc")).persist())
+    # decimal sum: at 10^10 docs a bigint label sum can overflow
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
+    for _ in range(max_iters):
+        neigh = (sym.join(labels, sym["dst"] == labels["doc"])
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        new = (labels.alias("l")
+               .join(neigh, F.col("l.doc") == neigh["src"], "left")
+               .select(F.col("l.doc").alias("doc"),
+                       F.least(F.col("l.label"),
+                               F.coalesce(F.col("nlabel"), F.col("l.label"))
+                               ).alias("label"))
+               .persist())
+        cur_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        sym.unpersist()
+        labels.unpersist()
+        raise ValueError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"(pathologically deep component?)")
+    out = labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc")).alias("is_keeper"),
+    )
+    return pin_for_result(out, labels, sym)

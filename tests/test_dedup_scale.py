@@ -199,3 +199,32 @@ def test_ivf_topk_recall_and_plan(spark):
 
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_components_and_release(spark):
+    """Min-label propagation finds exact component minima on a chain
+    (worst-case diameter), keeps separate components apart, marks one
+    keeper per cluster, and releases its caches with the result."""
+    import gc
+
+    # chain 1-2-3-4-5 (diameter 4), pair {10,11}, pair {20,21} + {21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "doc_a: long, doc_b: long")
+    res = DD.dedup_clusters(pairs)
+    got = {(r.doc_id): (r.cluster_id, r.is_keeper) for r in res.collect()}
+    assert {d: c for d, (c, _) in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    keepers = {d for d, (_, k) in got.items() if k}
+    assert keepers == {1, 10, 20}
+    del res
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="converge"):
+        DD.dedup_clusters(spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "doc_a: long, doc_b: long"),
+            max_iters=3)
+    spark.catalog.clearCache()  # failed run released via raise path
