@@ -41,10 +41,12 @@ HEADLINE = [
     "q3_top_revenue",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_cluster_keepers",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "media_decode",
 ]
 
