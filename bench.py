@@ -63,7 +63,7 @@ SCALE_MULTS = [
 #: them (min-of-N on an interleaved schedule — this host shows bursty
 #: ±40-60% noisy-neighbor slowdowns, so a single warm sample can make a
 #: regression indistinguishable from noise).
-N_WARM = int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3"))
+N_WARM = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3")))
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -343,57 +343,110 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     is_keeper)`` where ``cluster_id`` is the smallest doc id reachable
     through pair edges and the keeper is the cluster's minimum.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors'; labels only decrease, so the fixpoint
-    (sum of labels unchanged) is the exact component minimum.  Rounds
-    needed = O(cluster diameter); near-dup components are dense and
-    shallow (a boilerplate cluster is diameter ~2), so this is a handful
-    of join+agg rounds, each a single shuffle on doc id — never a
-    driver-side graph.  Docs that appear in no pair are absent (they are
-    their own keeper by definition).  Raises after ``max_iters`` without
-    convergence rather than returning silently-partial clusters.
+    Min-label propagation with **pointer doubling**: the seed label is
+    already ``min(self, direct neighbors)`` (one aggregation — the first
+    propagation round for free), then each round every node takes::
 
-    Caches: the edge list and final labels are scoped to the returned
-    result (pin_for_result); per-round intermediates are released
-    eagerly inside the loop.
+        label = min(label, min(neighbor labels), label(label))
+
+    The ``label(label)`` hop (pointer doubling, as in the classic
+    Shiloach–Vishkin / large-star contractions) halves the remaining
+    chain depth each round, so convergence is **O(log diameter)** join
+    rounds instead of O(diameter) — a depth-40 chain settles in ~6
+    rounds, and the typical shallow near-dup cluster (a boilerplate
+    clique is diameter ~2) is fully labelled by the seed and needs one
+    confirming round.  Each round is a constant number of equi-joins +
+    one aggregation on doc id — never a driver-side graph.
+
+    Convergence is detected by the **changed-row count** (``new.label !=
+    old.label``) carried through the round's own plan: type-agnostic
+    (works for string ids — a label *sum* would cast strings to NULL and
+    declare instant convergence), overflow-free, and a correctness
+    certificate: zero changes means every node's label equals the min
+    over itself, its neighbors, and its label's label, which forces the
+    label constant (and equal to the minimum id) on every component.
+
+    Docs that appear in no pair are absent (they are their own keeper by
+    definition).  Raises after ``max_iters`` rounds without convergence
+    rather than returning silently-partial clusters.
+
+    Lineage: each round references the previous label table three times
+    (self, neighbor side, pointer hop), so building rounds directly on
+    the prior round's *plan* grows the logical tree 3^rounds-fold —
+    measured as multi-second driver-side analysis per round dwarfing the
+    actual (tiny) data work.  Instead every round **spills its label
+    table to a scratch parquet** and reads it back: lineage is truncated
+    to a file scan, the convergence count is a metadata-cheap scan of
+    the just-written table, and the same move is exactly what a
+    10^10-edge run needs anyway (a reliable checkpoint per round, as
+    GraphFrames' connected components does — label tables are two
+    columns, so the per-round I/O is the cheapest step of the round).
+    The scratch directory lives exactly as long as the returned result
+    (weakref finalizer, same contract as pin_for_result); the edge list
+    is cache-pinned to the result the same way.
     """
+    import shutil
+    import tempfile
+    import weakref
+
+    spark = pairs.sparkSession
+    scratch = tempfile.mkdtemp(prefix="cdc-cc-")
+
+    def _spill(df: DataFrame, name: str) -> DataFrame:
+        path = f"{scratch}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (sym.select(F.col("src").alias("doc")).distinct()
-              .withColumn("label", F.col("doc")).persist())
-    # decimal sum: at 10^10 docs a bigint label sum can overflow
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    converged = False
-    for _ in range(max_iters):
-        neigh = (sym.join(labels, sym["dst"] == labels["doc"])
-                 .groupBy("src").agg(F.min("label").alias("nlabel")))
-        new = (labels.alias("l")
-               .join(neigh, F.col("l.doc") == neigh["src"], "left")
-               .select(F.col("l.doc").alias("doc"),
-                       F.least(F.col("l.label"),
-                               F.coalesce(F.col("nlabel"), F.col("l.label"))
-                               ).alias("label"))
-               .persist())
-        cur_sum = new.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels.unpersist()
-        labels = new
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
+    try:
+        # seed = min(self, direct neighbors): one map-side-combined agg —
+        # the first propagation round for free; spilling it also cuts the
+        # (expensive) pair-generation plan out of every round's lineage
+        labels = _spill(
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("__m"))
+            .select(F.col("src").alias("doc"),
+                    F.least(F.col("src"), F.col("__m")).alias("label")),
+            "labels-seed")
+        converged = False
+        for it in range(max_iters):
+            lab = labels.select("doc", "label")
+            neigh = (sym.join(lab, sym["dst"] == lab["doc"])
+                     .groupBy("src").agg(F.min("label").alias("nlabel")))
+            hop = lab.select(F.col("doc").alias("p_doc"),
+                             F.col("label").alias("p_label"))
+            new = (lab.alias("l")
+                   .join(neigh, F.col("l.doc") == neigh["src"], "left")
+                   .join(hop, F.col("l.label") == hop["p_doc"], "left")
+                   .select(F.col("l.doc").alias("doc"),
+                           F.col("l.label").alias("old_label"),
+                           F.least(
+                               F.col("l.label"),
+                               F.coalesce(F.col("nlabel"), F.col("l.label")),
+                               F.coalesce(F.col("p_label"), F.col("l.label")),
+                           ).alias("label")))
+            labels = _spill(new, f"labels-{it}")
+            changed = labels.where(
+                F.col("label") != F.col("old_label")).count()
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise ValueError(
+                f"dedup_clusters did not converge in {max_iters} rounds "
+                f"(pathologically deep component?)")
+    except BaseException:
         sym.unpersist()
-        labels.unpersist()
-        raise ValueError(
-            f"dedup_clusters did not converge in {max_iters} rounds "
-            f"(pathologically deep component?)")
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
     out = labels.select(
         F.col("doc").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("doc")).alias("is_keeper"),
     )
-    return pin_for_result(out, labels, sym)
+    out = pin_for_result(out, sym)
+    weakref.finalize(out, shutil.rmtree, scratch, True)
+    return out

@@ -505,7 +505,9 @@ class CdcEngine:
         return raw
 
     def apply_batch(self, off: Offset, to_lsn: int,
-                    write_checkpoint: bool = True) -> BatchMetrics:
+                    write_checkpoint: bool = True,
+                    on_batch: Callable[["BatchMetrics"], Any] | None = None,
+                    ) -> BatchMetrics:
         """Classify → dedup → MERGE one LSN interval ``(off.pos, to_lsn]``.
 
         Job economy (matters at micro-batch cadence): the raw-event stats
@@ -513,6 +515,16 @@ class CdcEngine:
         change set is cached and materialized by the MERGE itself, and the
         per-partition lineage is read off that small cache — two heavy
         actions per batch total (dedup+prune, write).
+
+        ``on_batch`` runs *after* the merge commits but *before* the
+        checkpoint write: a crash (or hook failure) between the two
+        replays the batch on restart — the merge dedup-skips on its
+        batch id and the hook fires again, so hook delivery is
+        at-least-once; an idempotent hook (FeedPublisher keys its
+        segment path on the batch interval) makes it exactly-once.
+        Running the hook after the checkpoint instead would open a
+        window where a crash loses the hook's side effect permanently
+        (the batch never replays).
         """
         from pyspark.sql import Observation
 
@@ -580,14 +592,17 @@ class CdcEngine:
         finally:
             changes.unpersist()
 
+        m = BatchMetrics(off.epoch + 1, off.commit_lsn, to_lsn, n_events,
+                         n_keys, applied)
+        if on_batch is not None:
+            on_batch(m)  # pre-checkpoint: crash here -> batch replays
         if write_checkpoint:
             new_off = Offset(
                 commit_lsn=to_lsn, intent_seq=2**62, epoch=off.epoch + 1,
                 snapshot_completed=off.snapshot_completed, last_batch_id=batch_id,
             )
             self.checkpoint.write(new_off)
-        return BatchMetrics(off.epoch + 1, off.commit_lsn, to_lsn, n_events,
-                            n_keys, applied)
+        return m
 
     def _lineage_rows(self, flat: DataFrame, epoch: int) -> list:
         """Per-partition lineage: max applied LSN, counts, watermark (the
@@ -960,10 +975,9 @@ class CdcEngine:
             if pending and pending[0][1].effective_lsn <= hi:
                 instance, sw = pending[0]
                 if sw.effective_lsn - 1 > lo:
-                    m = self.apply_batch(off, sw.effective_lsn - 1)
+                    m = self.apply_batch(off, sw.effective_lsn - 1,
+                                         on_batch=on_batch)
                     out.append(m)
-                    if on_batch:
-                        on_batch(m)
                 self._apply_ddl(sw)
                 if instance is not None:
                     self._applied_switches.add(instance)
@@ -977,11 +991,9 @@ class CdcEngine:
                 self.apply_batch(off, hi, write_checkpoint=False)
                 raise SimulatedCrash(off.epoch + 1)
 
-            m = self.apply_batch(off, hi)
+            m = self.apply_batch(off, hi, on_batch=on_batch)
             prev_empty = m.events == 0
             out.append(m)
-            if on_batch:
-                on_batch(m)
         return out
 
 

@@ -10,25 +10,52 @@ callback::
     pub = FeedPublisher(engine, feed_dir, transaction_block=True)
     engine.run_available(on_batch=pub.publish)
 
-Exactly-once: the segment path is a pure function of the batch
-``(epoch, from_lsn, to_lsn)``; a replayed batch (restart inside the
-crash window) finds its segment already present and skips — the same
-idempotence contract as the lake sink's batch ids.  Writes are staged to
-a dot-prefixed temp dir (invisible to Spark's reader) and atomically
+Exactly-once, from two halves:
+
+* the engine fires ``on_batch`` *between* the merge commit and the
+  checkpoint write, so a crash anywhere around publish replays the
+  batch on restart (at-least-once delivery to the hook);
+* the segment path is a pure function of the batch ``(epoch, from_lsn,
+  to_lsn)``, so a replayed batch that already published skips, and one
+  that crashed pre-publish finds its segment missing and publishes now.
+
+``publish`` never decides emptiness from ``BatchMetrics.events`` alone:
+a replayed batch reports ``events == 0`` (the merge dedup-skipped on
+its batch id, so the stats Observation never ran) even though the LSN
+interval holds real events.  When the merge was skipped the publisher
+re-runs the envelope export over the interval and lets the export's own
+row count decide — the binlog still holds the data.  Writes are staged
+to a dot-prefixed temp dir (invisible to Spark's reader) and atomically
 renamed in.
 
-Consumers read the whole feed (or a suffix) with ``read()`` and order by
-``(commit_lsn, intent_seq)`` — the total order the reference's
-single-task serial dispatch guarantees per partition, here carried as
-data so any number of downstream readers can re-establish it.
+Consumers read the whole feed — or a suffix via ``read(from_lsn=...)``,
+which prunes segments by the LSN range encoded in their path before
+Spark ever lists a file — ordered by ``(commit_lsn, intent_seq)``, the
+total order the reference's single-task serial dispatch guarantees per
+partition, here carried as data so any number of downstream readers can
+re-establish it.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count of a written parquet directory from file footers — an
+    os-level metadata read, no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 class FeedPublisher:
@@ -49,28 +76,39 @@ class FeedPublisher:
         self.envelope_kwargs = envelope_kwargs
         os.makedirs(self.dir, exist_ok=True)
 
+    def _heartbeat(self, m) -> str | None:
+        if not self.heartbeats:
+            return None
+        os.makedirs(self.hb_dir, exist_ok=True)
+        seg = f"hb-{m.epoch:08d}-{m.to_lsn}"
+        final = os.path.join(self.hb_dir, seg)
+        if os.path.exists(final):
+            return None
+        hb = self.engine.spark.range(1).selectExpr(
+            f"CAST({m.epoch} AS LONG) AS epoch",
+            f"CAST({m.to_lsn} AS LONG) AS lsn",
+            "'h' AS op")
+        tmp = os.path.join(self.hb_dir, f".tmp-{seg}-{uuid.uuid4().hex[:8]}")
+        hb.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        return final
+
     def publish(self, m) -> str | None:
         """Publish one applied batch's envelope records; engine
         ``on_batch`` hook.  Returns the segment path, or None for an
-        empty/replayed batch (empty batches become heartbeat records when
-        ``heartbeats=True``)."""
-        if m.events == 0:
-            if not self.heartbeats:
-                return None
-            os.makedirs(self.hb_dir, exist_ok=True)
-            seg = f"hb-{m.epoch:08d}-{m.to_lsn}"
-            final = os.path.join(self.hb_dir, seg)
-            if os.path.exists(final):
-                return None
-            hb = self.engine.spark.range(1).selectExpr(
-                f"CAST({m.epoch} AS LONG) AS epoch",
-                f"CAST({m.to_lsn} AS LONG) AS lsn",
-                "'h' AS op")
-            tmp = os.path.join(self.hb_dir,
-                               f".tmp-{seg}-{uuid.uuid4().hex[:8]}")
-            hb.coalesce(1).write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, final)
-            return final
+        empty/already-published batch (empty batches become heartbeat
+        records when ``heartbeats=True``).
+
+        Replay-safe: ``m.events == 0`` is trusted only when the merge
+        actually ran this call (``m.applied``).  A dedup-skipped replay
+        re-exports the interval and decides emptiness from the export
+        itself, so a segment lost to a crash between merge and publish
+        is recovered on the replay instead of silently dropped.
+        """
+        if m.applied and m.events == 0:
+            # genuinely empty interval, observed by the merge that just
+            # ran — no data segment to (re)publish
+            return self._heartbeat(m)
         seg = f"seg-{m.epoch:08d}-{m.from_lsn}-{m.to_lsn}"
         final = os.path.join(self.dir, seg)
         if os.path.exists(final):
@@ -82,22 +120,44 @@ class FeedPublisher:
         )
         tmp = os.path.join(self.dir, f".tmp-{seg}-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
+        if _parquet_rows(tmp) == 0:
+            # replay of an interval that truly held no events (e.g. the
+            # crashed batch itself was empty) — footer-metadata check,
+            # no extra Spark job
+            shutil.rmtree(tmp, ignore_errors=True)
+            return self._heartbeat(m)
         os.rename(tmp, final)
         return final
 
-    def segments(self) -> list[str]:
-        return sorted(
-            os.path.join(self.dir, d) for d in os.listdir(self.dir)
-            if d.startswith("seg-")
+    def segments(self, from_lsn: int | None = None) -> list[str]:
+        """Published segment paths, optionally pruned to those whose
+        encoded LSN range can contain events at or after ``from_lsn``
+        (segment ``seg-{epoch}-{from}-{to}`` holds ``(from, to]``)."""
+        segs = sorted(
+            d for d in os.listdir(self.dir) if d.startswith("seg-")
         )
+        if from_lsn is not None:
+            segs = [d for d in segs if int(d.rsplit("-", 1)[1]) >= from_lsn]
+        return [os.path.join(self.dir, d) for d in segs]
 
-    def read(self) -> DataFrame:
-        """The published feed, LSN-ordered."""
-        segs = self.segments()
+    def read(self, from_lsn: int | None = None,
+             ordered: bool = True) -> DataFrame:
+        """The published feed; with ``from_lsn`` only events with
+        ``commit_lsn >= from_lsn``, reading only the segments whose
+        path-encoded range overlaps (the rest are never listed — a
+        consumer resuming near the head of a 10^10-event feed scans a
+        handful of tail segments, not the history).  ``ordered=False``
+        skips the total (commit_lsn, intent_seq) sort for consumers that
+        re-order downstream anyway."""
+        segs = self.segments(from_lsn)
         if not segs:
-            raise ValueError(f"feed {self.dir} has no published segments")
-        return (self.engine.spark.read.parquet(*segs)
-                .orderBy("commit_lsn", "intent_seq"))
+            raise ValueError(f"feed {self.dir} has no published segments"
+                             + (f" at or after lsn {from_lsn}"
+                                if from_lsn is not None else ""))
+        df = self.engine.spark.read.parquet(*segs)
+        if from_lsn is not None:
+            df = df.where(F.col("commit_lsn") >= from_lsn)
+        return df.orderBy("commit_lsn", "intent_seq") if ordered else df
 
     def read_heartbeats(self) -> DataFrame:
         """The heartbeat topic (epoch, lsn, op='h'), epoch-ordered."""

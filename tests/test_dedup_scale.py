@@ -228,3 +228,23 @@ def test_dedup_clusters_components_and_release(spark):
             [(i, i + 1) for i in range(40)], "doc_a: long, doc_b: long"),
             max_iters=3)
     spark.catalog.clearCache()  # failed run released via raise path
+
+
+def test_dedup_clusters_string_ids_deep_chain(spark):
+    """String doc ids over a diameter>2 chain must propagate fully.
+
+    Regression (ADVICE r3): the old convergence probe summed labels cast
+    to decimal — NULL for string ids, so None == None declared
+    convergence after one round and deep components kept wrong labels.
+    The changed-row-count probe is type-agnostic."""
+    # chain a-b-c-d-e-f (diameter 5) + separate pair {x, y}
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+         ("x", "y")],
+        "doc_a: string, doc_b: string")
+    res = DD.dedup_clusters(pairs)
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in res.collect()}
+    assert {d: c for d, (c, _) in got.items()} == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
+        "x": "x", "y": "x"}
+    assert {d for d, (_, k) in got.items() if k} == {"a", "x"}

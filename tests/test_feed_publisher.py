@@ -63,11 +63,84 @@ def test_feed_publisher_skips_empty_batches(spark, tmpdir_path):
     eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
     pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
 
-    class M:  # an empty-batch metric
-        epoch, from_lsn, to_lsn, events = 9, 5, 7, 0
+    class M:  # a genuinely-empty batch metric (merge ran, saw 0 events)
+        epoch, from_lsn, to_lsn, events, applied = 9, 5, 7, 0, True
 
     assert pub.publish(M) is None
     eng.run_available(on_batch=pub.publish)
+    assert len(pub.segments()) == 1
+
+    class R:  # replayed-but-truly-empty: merge dedup-skipped, export
+        epoch, from_lsn, to_lsn, events, applied = 9, 5, 7, 0, False
+
+    assert pub.publish(R) is None          # export decides: no events there
+    assert len(pub.segments()) == 1
+
+
+def test_feed_publisher_replay_recovers_lost_segment(spark, tmpdir_path):
+    """Exactly-once across the crash window (ADVICE r3, high): the batch
+    merged and checkpoint-crashed before publish ever ran; on restart the
+    replayed batch reports events==0 (merge dedup-skips on its batch id),
+    but the publisher must NOT trust that — it re-exports the interval
+    and writes the missing segment."""
+    from debezium_connector_db2_spark.streaming.engine import SimulatedCrash
+
+    import pytest
+
+    rows = [_row(1, 0, "I", "a", 0, "x"), _row(2, 0, "I", "b", 0, "y")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=4)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+
+    # crash after the merge commits, before checkpoint (and before the
+    # on_batch hook could ever run — apply_batch raises first)
+    with pytest.raises(SimulatedCrash):
+        eng.run_available(on_batch=pub.publish, crash_after_merge_epoch=1)
+    assert pub.segments() == []             # nothing published pre-crash
+
+    # restart: replayed batch is dedup-skipped (applied=False, events=0)
+    # yet its segment gets published from the re-export
+    eng2 = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    batches = eng2.run_available(on_batch=pub.publish)
+    assert any(not m.applied for m in batches)
+    segs = pub.segments()
+    assert len(segs) == 1
+    feed = pub.read().collect()
+    assert sorted((r.key.conv_id, r.key.turn_idx) for r in feed
+                  if r.envelope is not None) == [("a", 0), ("b", 0)]
+
+
+def test_feed_hook_failure_replays_batch(spark, tmpdir_path):
+    """The on_batch hook runs before the checkpoint write: a hook crash
+    leaves the offset unadvanced, so the batch replays and the hook
+    fires again — at-least-once delivery, exactly-once with the
+    publisher's idempotent segment paths."""
+    rows = [_row(1, 0, "I", "a", 0, "x")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=4)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+
+    calls = []
+
+    def flaky(m):
+        calls.append(m.epoch)
+        if len(calls) == 1:
+            raise RuntimeError("publisher down")
+        return pub.publish(m)
+
+    import pytest
+    with pytest.raises(RuntimeError, match="publisher down"):
+        eng.run_available(on_batch=flaky)
+    # offset did not advance past the failed batch
+    assert eng.checkpoint.read().commit_lsn == 0
+    batches = eng.run_available(on_batch=flaky)
+    assert calls == [1, 1] and len(batches) == 1
     assert len(pub.segments()) == 1
 
 
@@ -94,3 +167,31 @@ def test_feed_heartbeat_topic_for_empty_batches(spark, tmpdir_path):
     for m in batches:
         pub.publish(m)
     assert len(pub.read_heartbeats().collect()) == n
+
+
+def test_feed_read_from_lsn_prunes_segments(spark, tmpdir_path):
+    """read(from_lsn=...) lists only the segments whose path-encoded LSN
+    range can overlap — a consumer resuming near the head of the feed
+    never pays a full-history listing or a global sort over it."""
+    rows = [_row(i, 0, "I", f"c{i}", 0, f"t{i}") for i in range(1, 9)]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=2)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=2)    # 4 segments: (0,2](2,4](4,6](6,8]
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+    eng.run_available(on_batch=pub.publish)
+    assert len(pub.segments()) == 4
+
+    # suffix from lsn 5: only segments with to_lsn >= 5 are listed
+    assert len(pub.segments(from_lsn=5)) == 2
+    got = pub.read(from_lsn=5).collect()
+    assert [r.commit_lsn for r in got] == [5, 6, 7, 8]   # ordered suffix
+    # unordered read serves the same rows without the sort
+    assert {r.commit_lsn for r in pub.read(from_lsn=5, ordered=False)
+            .collect()} == {5, 6, 7, 8}
+
+    import pytest
+    with pytest.raises(ValueError, match="no published segments"):
+        pub.read(from_lsn=999)
