@@ -431,6 +431,28 @@ def q_cdc_envelope(spark, sf_dir):
             .select("event_id", "op", "src.*"))
 
 
+def q_cdc_key_rewrite(spark, sf_dir):
+    """Debezium ``message.key.columns`` record-key rewrite
+    (``Db2ConnectorIT.java:790-820`` ``shouldRewriteIdentityKey``,
+    DBZ-775): the first spec entry whose regex matches the qualified
+    table name replaces the PK key — here ``cdc.events`` is rewritten
+    from (key) to (key, user_id); a non-matching earlier entry is
+    skipped.  Library path: ``functions.envelope.key_columns_for`` +
+    the key struct in ``CdcEngine.export_events(with_key=True)``."""
+    from debezium_connector_db2_spark.functions.envelope import key_columns_for
+
+    cap = _capture(spark, sf_dir)
+    cols = key_columns_for(
+        r"(.*)\.orders:o_orderkey;(.*)\.events:key,user_id",
+        "cdc.events", ["key"])
+    assert cols == ["key", "user_id"]
+    return cap.select(
+        "event_id",
+        F.struct(*[F.col(c).alias(c) for c in cols]).alias("k"),
+    ).select("event_id", F.col("k.key").alias("key_key"),
+             F.col("k.user_id").alias("key_user_id"))
+
+
 def q_cdc_tx_feed(spark, sf_dir):
     """A3 as an ordered stream: BEGIN / data / END records interleaved per
     transaction, END carrying the event count
@@ -779,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_reselect": q_cdc_reselect,
         "cdc_event_feed_tombstones": q_cdc_event_feed_tombstones,
         "cdc_envelope": q_cdc_envelope,
+        "cdc_key_rewrite": q_cdc_key_rewrite,
         "cdc_tx_feed": q_cdc_tx_feed,
         "cdc_signal_snapshot": q_cdc_signal_snapshot,
         "cdc_nulls_last_order": q_cdc_nulls_last_order,
@@ -1279,6 +1302,10 @@ def oracle_sql() -> dict[str, str]:
                    'events' AS "table",
                    lpad(lower(to_hex(intent_seq)), 16, '0') AS change_lsn,
                    lpad(lower(to_hex(commit_lsn)), 16, '0') AS commit_lsn
+            FROM ({_CAPTURE_SQL})
+        """,
+        "cdc_key_rewrite": f"""
+            SELECT event_id, key AS key_key, user_id AS key_user_id
             FROM ({_CAPTURE_SQL})
         """,
         "cdc_tx_feed": f"""

@@ -37,6 +37,97 @@ SOURCE_FIELD_NAMES = [
 
 CONNECTOR = "db2-spark"
 
+#: Debezium's per-column schema-parameter keys for
+#: ``datatype.propagate.source.type`` (RelationalDatabaseConnectorConfig
+#: constants, asserted by ``Db2ConnectorIT.java:822-871``).
+TYPE_NAME_PARAMETER_KEY = "__debezium.source.column.type"
+TYPE_LENGTH_PARAMETER_KEY = "__debezium.source.column.length"
+TYPE_SCALE_PARAMETER_KEY = "__debezium.source.column.scale"
+
+
+def parse_message_key_columns(spec: str) -> list[tuple["re.Pattern", list[str]]]:
+    """Parse Debezium's ``message.key.columns`` value: a semicolon-
+    separated list of ``<table-regex>:<col>,<col>,...`` entries
+    (``Db2ConnectorIT.java:790-820`` uses ``(.*).tablea:id,cola``,
+    DBZ-775).  Returns ``[(compiled regex, [columns]), ...]`` in spec
+    order — the first regex matching a table's qualified name wins."""
+    import re
+
+    out = []
+    for entry in spec.split(";"):
+        entry = entry.strip()
+        if not entry:
+            continue
+        if ":" not in entry:
+            raise ValueError(
+                f"message.key.columns entry {entry!r} is not "
+                f"'<table-regex>:<col,...>'")
+        pat, cols = entry.rsplit(":", 1)
+        cols = [c.strip() for c in cols.split(",") if c.strip()]
+        if not cols:
+            raise ValueError(f"message.key.columns entry {entry!r} "
+                             f"lists no columns")
+        out.append((re.compile(pat, re.IGNORECASE), cols))
+    return out
+
+
+def key_columns_for(spec: str | None, qualified_table: str,
+                    default: list[str]) -> list[str]:
+    """Resolve the record-key columns for a table under an optional
+    ``message.key.columns`` spec: the first entry whose regex fullmatches
+    the qualified table name (``schema.table``; a bare table name is
+    also tried) rewrites the key, otherwise the ``default`` (PK) stands.
+    """
+    if not spec:
+        return list(default)
+    bare = qualified_table.rsplit(".", 1)[-1]
+    for pat, cols in parse_message_key_columns(spec):
+        if pat.fullmatch(qualified_table) or pat.fullmatch(bare):
+            return list(cols)
+    return list(default)
+
+
+def source_type_parameters(
+    column_types: dict[str, tuple],
+    propagate: str | None,
+    qualified_table: str,
+) -> dict[str, dict[str, str]]:
+    """Per-column ``__debezium.source.column.*`` parameter maps for the
+    columns whose *source data type* matches one of the
+    ``datatype.propagate.source.type`` regexes
+    (``Db2ConnectorIT.java:822-871``, DBZ-1916/DBZ-1830).
+
+    ``column_types`` is the capture catalog's knowledge of the source
+    schema — ``{column: (TYPE_NAME, length, scale)}`` with length/scale
+    optional (the reference reads this from JDBC metadata; here the
+    registry/config supplies it).  ``propagate`` is the comma-separated
+    regex list; each is fullmatched (case-insensitively) against the
+    fully-qualified type name ``schema.table.TYPE``, ``table.TYPE`` and
+    the bare ``TYPE``.  Columns that don't match carry no parameters —
+    the reference asserts exactly that for its ID/C1/C2 columns.
+    """
+    import re
+
+    if not propagate or not column_types:
+        return {}
+    pats = [re.compile(p.strip(), re.IGNORECASE)
+            for p in propagate.split(",") if p.strip()]
+    bare_table = qualified_table.rsplit(".", 1)[-1]
+    out: dict[str, dict[str, str]] = {}
+    for col, spec in column_types.items():
+        type_name, length, scale = (tuple(spec) + (None, None))[:3]
+        candidates = [f"{qualified_table}.{type_name}",
+                      f"{bare_table}.{type_name}", str(type_name)]
+        if not any(p.fullmatch(c) for p in pats for c in candidates):
+            continue
+        params = {TYPE_NAME_PARAMETER_KEY: str(type_name)}
+        if length is not None:
+            params[TYPE_LENGTH_PARAMETER_KEY] = str(length)
+        if scale is not None:
+            params[TYPE_SCALE_PARAMETER_KEY] = str(scale)
+        out[col] = params
+    return out
+
 
 def source_struct(
     *,
@@ -89,6 +180,8 @@ def wrap_envelope(
     ts_col: str = "ts",
     key_col: str | None = None,
     transaction_block: bool = False,
+    last_snapshot_pos: tuple[int, int] | None = None,
+    source_types: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """Wrap an export_events-shaped feed (op/before/after/commit_lsn/
     intent_seq/table) into full Debezium records.
@@ -113,6 +206,24 @@ def wrap_envelope(
     only; tombstones carry no transaction block (they have no envelope).
     Cost: two windows partitioned by commit_lsn — bounded per-partition
     state (a transaction's events), same shape as the classify step.
+
+    ``last_snapshot_pos=(commit_lsn, intent_seq)`` marks the snapshot
+    read record at exactly that feed position with ``source.snapshot =
+    'last'`` instead of ``'true'`` — Debezium's SnapshotRecord enum
+    emits LAST on the final snapshot record so consumers can detect
+    snapshot completion (SnapshotRecord semantics behind
+    ``SourceInfoTest.java:86-104``).  The position is supplied by the
+    caller (an O(1) literal comparison per row), never computed here —
+    a global max-window over the feed would single-partition it.
+
+    ``source_types`` attaches Debezium's
+    ``datatype.propagate.source.type`` per-column parameters
+    (``__debezium.source.column.type/length/scale``,
+    ``Db2ConnectorIT.java:822-871``) as a constant
+    ``map<string, map<string, string>>`` column ``source_types`` — the
+    wire rendering of what the reference carries as Kafka schema
+    parameters (this engine's records are rows, so schema-level
+    metadata rides as a literal column: zero per-row compute, prunable).
     """
     if transaction_block:
         from pyspark.sql import Window
@@ -125,7 +236,16 @@ def wrap_envelope(
         feed = (feed.withColumn("__tx_total", F.sum(is_data).over(w))
                 .withColumn("__tx_coll", F.sum(is_data).over(wt)))
     ts = F.coalesce(F.col(f"after.{ts_col}"), F.col(f"before.{ts_col}"))
-    snapshot = F.when(F.col("op") == "r", F.lit("true")).otherwise(F.lit("false"))
+    if last_snapshot_pos is not None:
+        is_last = ((F.col("commit_lsn") == F.lit(int(last_snapshot_pos[0])))
+                   & (F.col("intent_seq") == F.lit(int(last_snapshot_pos[1]))))
+        snapshot = F.when(
+            F.col("op") == "r",
+            F.when(is_last, F.lit("last")).otherwise(F.lit("true")),
+        ).otherwise(F.lit("false"))
+    else:
+        snapshot = F.when(F.col("op") == "r",
+                          F.lit("true")).otherwise(F.lit("false"))
     src = source_struct(
         version=version, name=name, ts=ts, snapshot=snapshot,
         db=db, schema_name=schema_name, table=F.col("table"),
@@ -150,7 +270,16 @@ def wrap_envelope(
     cols = ["table", "commit_lsn", "intent_seq"]
     if key_col is not None:
         cols.append(key_col)
-    return feed.select(*cols, envelope.alias("envelope"))
+    selected = [*cols, envelope.alias("envelope")]
+    if source_types:
+        entries = []
+        for col, params in source_types.items():
+            inner = []
+            for k, v in params.items():
+                inner += [F.lit(k), F.lit(v)]
+            entries += [F.lit(col), F.create_map(*inner)]
+        selected.append(F.create_map(*entries).alias("source_types"))
+    return feed.select(*selected)
 
 
 def skip_operations(feed: DataFrame, skipped: str | set[str]) -> DataFrame:

@@ -65,6 +65,9 @@ class SchemaVersion:
     added: dict = field(default_factory=dict)
     #: columns renamed at this version: {old_name: new_name}
     renamed: dict = field(default_factory=dict)
+    #: columns altered at this version: {name: {"dtype": type-string?,
+    #: "default": new-default?}} — type widening and/or default change
+    altered: dict = field(default_factory=dict)
 
     @property
     def struct(self) -> T.StructType:
@@ -205,7 +208,8 @@ class LakeTable:
 
     def schema_versions(self, manifest: dict | None = None) -> list[SchemaVersion]:
         m = manifest or self.manifest()
-        return [SchemaVersion(s["version"], s["schema_json"], s["added"], s["renamed"])
+        return [SchemaVersion(s["version"], s["schema_json"], s["added"],
+                              s["renamed"], s.get("altered", {}))
                 for s in m["schema_versions"]]
 
     def schema(self, manifest: dict | None = None) -> T.StructType:
@@ -221,12 +225,13 @@ class LakeTable:
             (sv.version,
              json.dumps(sv.added) if sv.added else None,
              json.dumps(sv.renamed) if sv.renamed else None,
+             json.dumps(sv.altered) if sv.altered else None,
              [f.name for f in sv.struct.fields])
             for sv in self.schema_versions()
         ]
         return self.spark.createDataFrame(
             rows, "version: int, added: string, renamed: string, "
-                  "columns: array<string>")
+                  "altered: string, columns: array<string>")
 
     def recover_schema_history(self) -> T.StructType:
         """Rebuild a lost/corrupted schema-version manifest from the data
@@ -333,6 +338,89 @@ class LakeTable:
         m["current_schema_version"] = ver
         self._commit_child(m, {"operation": "rename-column", "from": old, "to": new})
 
+    _ALTER_UNSET = object()
+
+    def alter_column(self, name: str, dtype: str | None = None,
+                     default: Any = _ALTER_UNSET) -> None:
+        """ALTER COLUMN: widen an existing column's type and/or change
+        its declared default (metadata-only, like Iceberg type
+        promotion).  Mirrors the reference's offline/online
+        default-value evolution (``AbstractDb2DefaultValueIT.java:253-258``,
+        ``Db2OfflineDefaultValueIT.java:33-51``,
+        ``ZZZDb2OnlineDefaultValueIT.java:37-49``) and Db2's ALTER
+        COLUMN SET DATA TYPE widening.
+
+        Type changes must be *widenings* (int→bigint, float→double,
+        decimal(p,s)→decimal(p',s') with no loss of integer digits or
+        scale, any integer→decimal that fits): narrowing would make old
+        files unreadable losslessly and is refused.  Old files are
+        upgraded on read by a cast to the widened type — no rewrite.
+
+        A default change affects the *declared* default from this
+        version on — rows already materialized under the old default
+        keep their value, exactly as in Db2 (the reference asserts the
+        schema's default changes for records after the ALTER, not that
+        history rewrites).  Pass ``default=None`` to drop the default.
+        Db2 special-register / quoted-literal default strings are parsed
+        with the reference's rules (``Db2DefaultValueConverter.java:96-229``).
+
+        Idempotent: altering to the current type with no default change
+        is a no-op (DDL replay after crash-before-checkpoint).
+        """
+        m = self.manifest()
+        cur = self.schema(m)
+        fld = next((f for f in cur.fields if f.name == name), None)
+        if fld is None:
+            raise ValueError(f"alter target column {name!r} does not exist")
+        delta: dict = {}
+        new_type = fld.dataType
+        if dtype is not None:
+            new_type = _parse_type(dtype)
+            if new_type != fld.dataType:
+                if not _is_widening(fld.dataType, new_type):
+                    raise ValueError(
+                        f"cannot alter {name!r} from "
+                        f"{fld.dataType.simpleString()} to "
+                        f"{new_type.simpleString()}: not a widening")
+                delta["dtype"] = new_type.simpleString()
+        if default is not LakeTable._ALTER_UNSET:
+            if isinstance(default, str):
+                from debezium_connector_db2_spark.functions.defaults import (
+                    parse_default_value,
+                )
+
+                default = parse_default_value(
+                    dtype or fld.dataType.simpleString(), default)
+            delta["default"] = default
+        if not delta:
+            return  # no-op / replayed ALTER
+        new_schema = T.StructType(
+            [T.StructField(name, new_type, f.nullable) if f.name == name
+             else f for f in cur.fields]
+        )
+        ver = m["current_schema_version"] + 1
+        m["schema_versions"].append(
+            {"version": ver, "schema_json": new_schema.jsonValue(),
+             "added": {}, "renamed": {}, "altered": {name: delta}}
+        )
+        m["current_schema_version"] = ver
+        self._commit_child(m, {"operation": "alter-column", "column": name,
+                               **{k: str(v) for k, v in delta.items()}})
+
+    def column_default(self, name: str,
+                       manifest: dict | None = None) -> Any:
+        """The column's *currently declared* default: the latest
+        ``altered`` delta that set one, else the ``added`` default, else
+        None — what a new record that omits the column observes from
+        this schema version on."""
+        out = None
+        for sv in self.schema_versions(manifest):
+            if name in sv.added:
+                out = sv.added[name]
+            if name in sv.altered and "default" in sv.altered[name]:
+                out = sv.altered[name]["default"]
+        return out
+
     #: Recent-batch-id window carried in each manifest.  A replayed batch
     #: can only re-present positions at or after the engine checkpoint, so
     #: ids older than the last N commits can never be offered again —
@@ -405,6 +493,13 @@ class LakeTable:
                 for name, default in svs[step].added.items():
                     ftype = next(f.dataType for f in svs[step].struct.fields if f.name == name)
                     df = df.withColumn(name, F.lit(default).cast(ftype))
+                for name, delta in svs[step].altered.items():
+                    # type widening: lossless cast on read; a default
+                    # change never rewrites materialized rows (Db2
+                    # ALTER ... SET DEFAULT semantics)
+                    if "dtype" in delta:
+                        df = df.withColumn(
+                            name, F.col(name).cast(delta["dtype"]))
             if versioned and not raw:
                 df = df.where(~F.coalesce(F.col("__deleted"), F.lit(False)))
             parts.append(df.select(out_cols))
@@ -660,6 +755,25 @@ class LakeTable:
         m["files"] = {str(b): ents for b, ents in files.items()}
         self._commit_child(m, {"operation": "vacuum-tombstones",
                                "before_lsn": before_lsn})
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """True iff every value of ``old`` is exactly representable in
+    ``new`` (lossless cast): integer up-casts, float→double,
+    decimal(p,s)→decimal(p',s') keeping all integer digits and scale,
+    integer→decimal with enough integer digits."""
+    ints = [T.ShortType(), T.IntegerType(), T.LongType()]
+    int_digits = {T.ShortType(): 5, T.IntegerType(): 10, T.LongType(): 19}
+    if old in ints and new in ints:
+        return ints.index(new) >= ints.index(old)
+    if old == T.FloatType() and new == T.DoubleType():
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale)
+    if old in ints and isinstance(new, T.DecimalType):
+        return new.precision - new.scale >= int_digits[old]
+    return False
 
 
 def _parse_type(dtype: str) -> T.DataType:

@@ -236,37 +236,78 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 10, n_cells: int = 8, nprobe: int = 3,
     seed: int = 11, round_to: int = 4,
+    max_literal_centroid_terms: int = 10_000,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path beside
     ``lsh_ann_topk``.
 
-    Index: every item is assigned to its nearest centroid cell (one
-    map-side pass over the literal coarse quantizer — no shuffle).
+    Index: every item is assigned to its nearest centroid cell.
     Search: each query probes its ``nprobe`` nearest cells; candidates
     come from cell equi-joins with the (broadcast) query set, verified
     with the exact cosine, top-k per query.  Probing cost is
     ``nprobe/n_cells`` of the corpus per query instead of all of it; at
     10^10 vectors the cell assignment is a one-off index column you would
     persist alongside the embedding.
+
+    Cell assignment has two physical strategies, same semantics:
+
+    * **literal** (``n_cells × dim <= max_literal_centroid_terms``) —
+      centroids embedded in the plan as literals, one map-side pass,
+      zero shuffle and zero extra join.  Right for a handful of cells,
+      but codegen/plan size grows with every literal.
+    * **broadcast** (above the threshold) — centroids become a
+      broadcast DataFrame; assignment is a broadcast join with the
+      corpus followed by a map-side-combined argmax per item.  At real
+      IVF sizes (thousands to 65k cells) this keeps the plan O(1) and
+      ships the quantizer once per executor, the way FAISS ships its
+      coarse quantizer — never a shuffle of the corpus.
+
     Output: (query_id, item_id, cos, rank).
     """
     cents = ivf_centroids(items, id_col, vec_col, n_cells, seed)
+    dim = len(cents[0][1]) if cents else 0
 
     it = items.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("ivec")
-    ).withColumn(
-        "cell",
-        -F.array_max(_cell_scores(F.col("ivec"), cents))["ncid"],
     )
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn(
-        "__top",
-        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("qvec"), cents))),
-                1, nprobe),
-    ).select("query_id", "qvec", F.explode("__top").alias("__probe")) \
-     .withColumn("cell", -F.col("__probe.ncid")).drop("__probe")
+    )
+    if len(cents) * dim <= max_literal_centroid_terms:
+        it = it.withColumn(
+            "cell",
+            -F.array_max(_cell_scores(F.col("ivec"), cents))["ncid"],
+        )
+        q = q.withColumn(
+            "__top",
+            F.slice(F.reverse(F.array_sort(_cell_scores(F.col("qvec"),
+                                                        cents))),
+                    1, nprobe),
+        ).select("query_id", "qvec", F.explode("__top").alias("__probe")) \
+         .withColumn("cell", -F.col("__probe.ncid")).drop("__probe")
+    else:
+        spark = items.sparkSession
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in comps], float(cnorm))
+             for cid, comps, cnorm in cents],
+            "cent_id: long, cvec: array<double>, cnorm: double")
+        # score identical to _cell_scores: dot/|c|, ties to smaller id
+        score = (_dot(F.col("ivec"), F.col("cvec")) / F.col("cnorm"))
+        it = (it.join(F.broadcast(cent_df))
+              .groupBy("item_id")
+              .agg(F.any_value("ivec").alias("ivec"),
+                   F.max(F.struct(score.alias("s"),
+                                  (-F.col("cent_id")).alias("ncid")))
+                   .alias("__best"))
+              .withColumn("cell", -F.col("__best.ncid")).drop("__best"))
+        qscore = (_dot(F.col("qvec"), F.col("cvec")) / F.col("cnorm"))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("__s"), F.asc("cent_id"))
+        q = (q.join(F.broadcast(cent_df))
+             .withColumn("__s", qscore)
+             .withColumn("__r", F.row_number().over(wq))
+             .where(F.col("__r") <= nprobe)
+             .select("query_id", "qvec", F.col("cent_id").alias("cell")))
 
     scored = (
         it.join(F.broadcast(q), "cell")

@@ -87,6 +87,10 @@ class CdcEngine:
         signals=None,
         snapshot_source: Callable[[], DataFrame] | None = None,
         notifications=None,
+        schema_name: str = "cdc",
+        message_key_columns: str | None = None,
+        source_column_types: dict | None = None,
+        datatype_propagate_source_type: str | None = None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -149,6 +153,19 @@ class CdcEngine:
         #: (in-memory only: re-deriving after a restart is safe because
         #: DDL application is idempotent)
         self._applied_switches: set[str] = set()
+        #: logical schema of the captured table, used to qualify names in
+        #: the config-surface regexes below (the reference's
+        #: ``SOURCE_OWNER``, e.g. DB2INST1)
+        self.schema_name = schema_name
+        #: Debezium ``message.key.columns`` — per-table-regex record-key
+        #: rewrite (``Db2ConnectorIT.java:790-820``, DBZ-775); None keeps
+        #: the PK struct as the key
+        self.message_key_columns = message_key_columns
+        #: capture catalog's source types, ``{col: (TYPE, length, scale)}``
+        #: — feeds ``datatype.propagate.source.type``
+        #: (``Db2ConnectorIT.java:822-871``)
+        self.source_column_types = source_column_types
+        self.datatype_propagate_source_type = datatype_propagate_source_type
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
@@ -491,6 +508,11 @@ class CdcEngine:
         elif change.action == "rename_column":
             self.target.rename_column(**change.args)
             self.binlog_renames[change.args["old"]] = change.args["new"]
+        elif change.action == "alter_column":
+            # default change / type widening; pre-alter binlog events
+            # replayed across the switch LSN are cast to the widened
+            # type by apply_batch's schema alignment
+            self.target.alter_column(**change.args)
         else:
             raise ValueError(f"unknown schema change action {change.action!r}")
 
@@ -545,9 +567,14 @@ class CdcEngine:
         # read) are filled as NULL by the parquet reader when the source
         # schema declares them; columns the source schema never declares
         # (e.g. a target-only ADD COLUMN) are filled here.
+        raw_types = dict(raw.dtypes)
         for f in self.target.schema().fields:
             if f.name not in raw.columns:
                 raw = raw.withColumn(f.name, F.lit(None).cast(f.dataType))
+            elif raw_types[f.name] != f.dataType.simpleString():
+                # binlog events written before an ALTER COLUMN widening
+                # carry the old (narrower) type: lossless up-cast
+                raw = raw.withColumn(f.name, F.col(f.name).cast(f.dataType))
         if self.classify_mode == "full":
             events = to_change_events(raw, self.pk_cols, payload_cols)
             flat = flatten_events(events, self.pk_cols, payload_cols)
@@ -730,6 +757,19 @@ class CdcEngine:
 
     # -- event-feed export (the S11 Kafka-topic analogue) --------------------
 
+    def record_key_columns(self) -> list[str]:
+        """Record-key columns for this table: the PK, unless a
+        ``message.key.columns`` entry's regex matches the qualified
+        table name (``schema.table``) and rewrites it
+        (``Db2ConnectorIT.java:790-820`` ``shouldRewriteIdentityKey``)."""
+        from debezium_connector_db2_spark.functions.envelope import (
+            key_columns_for,
+        )
+
+        return key_columns_for(
+            self.message_key_columns,
+            f"{self.schema_name}.{self.table}", self.pk_cols)
+
     def export_events(self, from_lsn: int, to_lsn: int,
                       tombstones: bool = True,
                       transaction_markers: bool = False,
@@ -767,11 +807,17 @@ class CdcEngine:
         raw = self._normalize_binlog(raw)
         events = to_change_events(raw, self.pk_cols, payload_cols)
         if with_key:
+            key_cols = self.record_key_columns()
+            missing = [c for c in key_cols if c not in payload_cols]
+            if missing:
+                raise ValueError(
+                    f"message.key.columns names {missing} not in the "
+                    f"payload columns of table {self.table!r}")
             events = events.withColumn(
                 "key",
                 F.struct(*[
                     F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}"))
-                    .alias(c) for c in self.pk_cols
+                    .alias(c) for c in key_cols
                 ]),
             )
         key_cols = ["key"] if with_key else []
@@ -849,8 +895,9 @@ class CdcEngine:
                         tombstones: bool = True,
                         server_name: str = "cdc-engine",
                         db: str = "testdb",
-                        schema_name: str = "cdc",
-                        transaction_block: bool = False) -> DataFrame:
+                        schema_name: str | None = None,
+                        transaction_block: bool = False,
+                        mark_last_snapshot: bool = False) -> DataFrame:
         """S11 as full Debezium records: (table, commit_lsn, intent_seq,
         key, envelope) where ``envelope`` is ``{before, after, source,
         op, ts_ms}`` with the golden nested source struct
@@ -860,16 +907,45 @@ class CdcEngine:
         — the log-compaction contract (``Db2ConnectorIT.java:211-215``).
         ``transaction_block=True`` adds the per-record ``transaction``
         struct (``provide.transaction.metadata``,
-        ``TransactionMetadataIT.java:110-117``)."""
-        from debezium_connector_db2_spark import __version__
-        from debezium_connector_db2_spark.functions.envelope import wrap_envelope
+        ``TransactionMetadataIT.java:110-117``).
 
+        ``mark_last_snapshot=True`` probes the interval for the last
+        snapshot-read record (one bounded max aggregate — a scalar to
+        the driver, not data) and renders its ``source.snapshot`` as
+        ``'last'`` (SnapshotRecord.LAST — consumers detect snapshot
+        completion by it).
+
+        When the engine was built with ``source_column_types`` +
+        ``datatype_propagate_source_type``, records carry a constant
+        ``source_types`` parameter-map column
+        (``datatype.propagate.source.type``,
+        ``Db2ConnectorIT.java:822-871``)."""
+        from debezium_connector_db2_spark import __version__
+        from debezium_connector_db2_spark.functions.envelope import (
+            source_type_parameters,
+            wrap_envelope,
+        )
+
+        schema_name = schema_name if schema_name is not None else self.schema_name
         feed = self.export_events(from_lsn, to_lsn, tombstones=tombstones,
                                   with_key=True)
+        last_pos = None
+        if mark_last_snapshot:
+            row = (feed.where(F.col("op") == "r")
+                   .agg(F.max(F.struct("commit_lsn", "intent_seq"))
+                        .alias("p")).collect()[0]["p"])
+            if row is not None:
+                last_pos = (row["commit_lsn"], row["intent_seq"])
         return wrap_envelope(
             feed, version=__version__, name=server_name, db=db,
             schema_name=schema_name, key_col="key",
             transaction_block=transaction_block,
+            last_snapshot_pos=last_pos,
+            source_types=source_type_parameters(
+                self.source_column_types,
+                self.datatype_propagate_source_type,
+                f"{schema_name}.{self.table}",
+            ) or None,
         )
 
     def export_events_cloudevents(self, from_lsn: int, to_lsn: int,

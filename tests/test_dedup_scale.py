@@ -248,3 +248,37 @@ def test_dedup_clusters_string_ids_deep_chain(spark):
         "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
         "x": "x", "y": "x"}
     assert {d for d, (_, k) in got.items() if k} == {"a", "x"}
+
+
+def test_ivf_topk_broadcast_centroids_parity(spark):
+    """Above the literal-terms threshold the coarse quantizer becomes a
+    broadcast DataFrame (the plan stays O(1) at real n_cells instead of
+    embedding n_cells x dim literals) — same results bit-for-bit, and
+    the plan shows a broadcast join with zero corpus shuffle for the
+    cell assignment."""
+    import math as m
+
+    from debezium_connector_db2_spark.operators.similarity import ivf_topk
+
+    dim = 16
+
+    def vec(center, jitter_seed):
+        return [m.sin(center * 13 + i) + 0.05 * m.sin(jitter_seed * 7 + i)
+                for i in range(dim)]
+
+    rows = [(c * 100 + j, vec(c, j)) for c in range(4) for j in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    queries = emb.where("vec_id % 100 < 2")
+    items = emb.where("vec_id % 100 >= 2")
+
+    lit = ivf_topk(items, queries, k=3, n_cells=6, nprobe=3, seed=3)
+    bc = ivf_topk(items, queries, k=3, n_cells=6, nprobe=3, seed=3,
+                  max_literal_centroid_terms=0)    # force broadcast path
+    assert sorted(map(tuple, lit.collect())) == \
+        sorted(map(tuple, bc.collect()))
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan            # quantizer ships, corpus stays put
+    assert "CartesianProduct" not in plan
+    # the centroid components are NOT plan literals in the broadcast path
+    assert plan.count("0.05") < 50

@@ -180,3 +180,129 @@ def test_skip_operations_and_unwrap(spark, tmpdir_path):
     kept = unwrap_envelope(records, drop_deletes=True).collect()
     assert sorted(r.conv_id for r in kept) == ["a", "b"]
     assert all(not r["__deleted"] for r in kept)
+
+
+def test_message_key_columns_rewrite(spark, tmpdir_path):
+    """message.key.columns rewrites the record key per table regex
+    (Db2ConnectorIT.java:790-820 shouldRewriteIdentityKey, DBZ-775):
+    the key struct carries the listed columns — here the PK's conv_id
+    plus the non-PK role — instead of the fixed PK struct."""
+    rows = [_row(1, 0, "I", "a", 0, "hello")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(
+        spark, src, t, os.path.join(tmpdir_path, "ck"),
+        message_key_columns="(.*).transcripts:conv_id,turn_idx,role")
+    assert eng.record_key_columns() == ["conv_id", "turn_idx", "role"]
+    rec = eng.export_envelope(1, 1).collect()[0]
+    assert rec.key.asDict() == {"conv_id": "a", "turn_idx": 0,
+                                "role": "user"}
+
+    # a non-matching regex leaves the PK key in place
+    eng2 = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck2"),
+                     message_key_columns="(.*).othertable:conv_id,role")
+    assert eng2.record_key_columns() == ["conv_id", "turn_idx"]
+
+    # first matching entry wins among several
+    eng3 = CdcEngine(
+        spark, src, t, os.path.join(tmpdir_path, "ck3"),
+        message_key_columns="(.*).other:x;(.*).transcripts:conv_id,role;"
+                            "(.*).transcripts:turn_idx")
+    assert eng3.record_key_columns() == ["conv_id", "role"]
+
+    # unknown column fails loudly at export, not silently
+    import pytest
+    eng4 = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck4"),
+                     message_key_columns="(.*).transcripts:nope")
+    with pytest.raises(ValueError, match="nope"):
+        eng4.export_envelope(1, 1)
+
+
+def test_datatype_propagate_source_type(spark, tmpdir_path):
+    """datatype.propagate.source.type attaches the reference's exact
+    per-column __debezium.source.column.type/length/scale parameters
+    (Db2ConnectorIT.java:822-871, DBZ-1916/DBZ-1830) for columns whose
+    source type matches the regex list — and only those."""
+    from debezium_connector_db2_spark.functions.envelope import (
+        TYPE_LENGTH_PARAMETER_KEY,
+        TYPE_NAME_PARAMETER_KEY,
+        TYPE_SCALE_PARAMETER_KEY,
+        source_type_parameters,
+    )
+
+    # the IT's dt_table column catalog (DECIMAL(5,2), VARCHAR(128),
+    # REAL(24), DECFLOAT->DECIMAL(8,4); ID/C1/C2 are non-matching types)
+    column_types = {
+        "id": ("INTEGER", None, None),
+        "c1": ("BIGINT", None, None),
+        "c2": ("SMALLINT", None, None),
+        "c3a": ("DECIMAL", 5, 2),
+        "c3b": ("VARCHAR", 128, None),
+        "f1": ("REAL", 24, None),
+        "f2": ("DECIMAL", 8, 4),
+    }
+    params = source_type_parameters(
+        column_types, r".+\.NUMERIC,.+\.VARCHAR,.+\.DECIMAL,.+\.REAL",
+        "cdc.dt_table")
+    assert set(params) == {"c3a", "c3b", "f1", "f2"}   # id/c1/c2: none
+    assert params["c3a"] == {TYPE_NAME_PARAMETER_KEY: "DECIMAL",
+                             TYPE_LENGTH_PARAMETER_KEY: "5",
+                             TYPE_SCALE_PARAMETER_KEY: "2"}
+    assert params["c3b"] == {TYPE_NAME_PARAMETER_KEY: "VARCHAR",
+                             TYPE_LENGTH_PARAMETER_KEY: "128"}
+    assert params["f2"] == {TYPE_NAME_PARAMETER_KEY: "DECIMAL",
+                            TYPE_LENGTH_PARAMETER_KEY: "8",
+                            TYPE_SCALE_PARAMETER_KEY: "4"}
+    assert params["f1"] == {TYPE_NAME_PARAMETER_KEY: "REAL",
+                            TYPE_LENGTH_PARAMETER_KEY: "24"}
+
+    # end-to-end: the engine renders the map as a constant column
+    rows = [_row(1, 0, "I", "a", 0, "hello")]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(
+        spark, src, t, os.path.join(tmpdir_path, "ck"),
+        source_column_types={"conv_id": ("VARCHAR", 64, None),
+                             "turn_idx": ("INTEGER", None, None),
+                             "text": ("VARCHAR", 32000, None)},
+        datatype_propagate_source_type=r".+\.VARCHAR")
+    rec = eng.export_envelope(1, 1).collect()[0]
+    assert rec.source_types == {
+        "conv_id": {TYPE_NAME_PARAMETER_KEY: "VARCHAR",
+                    TYPE_LENGTH_PARAMETER_KEY: "64"},
+        "text": {TYPE_NAME_PARAMETER_KEY: "VARCHAR",
+                 TYPE_LENGTH_PARAMETER_KEY: "32000"},
+    }
+    # no propagation configured -> no source_types column at all
+    eng2 = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck2"))
+    assert "source_types" not in eng2.export_envelope(1, 1).columns
+
+
+def test_snapshot_last_record(spark, tmpdir_path):
+    """source.snapshot renders 'last' on the final snapshot read record
+    (SnapshotRecord.LAST — consumers detect snapshot completion by it);
+    earlier reads stay 'true', streamed ops stay 'false'."""
+    rows = [
+        _row(1, 0, "R", "a", 0, "s1"),
+        _row(1, 1, "R", "a", 1, "s2"),
+        _row(1, 2, "R", "b", 0, "s3"),
+        _row(2, 0, "I", "c", 0, "streamed"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    recs = (eng.export_envelope(1, 2, mark_last_snapshot=True)
+            .orderBy("commit_lsn", "intent_seq").collect())
+    snaps = [r.envelope.source.snapshot for r in recs]
+    assert snaps == ["true", "true", "last", "false"]
+    # without the flag, behavior is unchanged (cdc_envelope oracle parity)
+    recs2 = (eng.export_envelope(1, 2)
+             .orderBy("commit_lsn", "intent_seq").collect())
+    assert [r.envelope.source.snapshot for r in recs2] == [
+        "true", "true", "true", "false"]

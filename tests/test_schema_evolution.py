@@ -118,3 +118,100 @@ def test_old_snapshot_files_readable_after_evolution(spark, tmpdir_path):
     assert '"score"' in hist[1].added
     assert '"role": "speaker"' in hist[2].renamed
     assert "speaker" in hist[2].columns and "role" not in hist[2].columns
+
+
+SCORE_SCHEMA = T.StructType(
+    BINLOG_FIELDS + [T.StructField("score", T.LongType(), True)]
+)
+
+
+def _srow(lsn, seq, op, conv, turn, text, score, sv=0):
+    return (lsn, seq, op, "transcripts", sv, conv, turn, "user", text, None,
+            TS, score)
+
+
+def test_alter_column_widening_and_default_mid_stream(spark, tmpdir_path):
+    """ALTER COLUMN mid-stream (the reference's offline/online default
+    evolution, AbstractDb2DefaultValueIT.java:253-258 + the
+    Db2Offline/ZZZDb2OnlineDefaultValueIT variants, and Db2 ALTER ...
+    SET DATA TYPE widening): the engine splits the batch at the switch
+    LSN, widens int->bigint so post-switch values beyond int range
+    apply, upgrades pre-switch files by cast on read, historizes the
+    change, and a full replay across the switch converges (idempotent
+    DDL)."""
+    rows = [
+        _srow(1, 0, "I", "a", 0, "t0", 1),
+        _srow(2, 0, "I", "a", 1, "t1", 2),
+        # ---- switch at 5: score widens int -> bigint ----
+        _srow(6, 0, "U", "a", 0, "t0-v2", 1 << 40, sv=1),
+        _srow(7, 0, "I", "b", 0, "b0", 1 << 41, sv=1),
+        # ---- switch at 8: score's declared default changes 0 -> 7 ----
+        _srow(9, 0, "I", "c", 0, "c0", None, sv=2),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "binlog"),
+                       bucket_size=8, schema=SCORE_SCHEMA)
+    src.write(spark.createDataFrame(rows, SCORE_SCHEMA))
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4,
+    )
+    target.add_column("score", "int", default=0)
+    changes = [
+        SchemaChange(5, "alter_column", {"name": "score", "dtype": "bigint"}),
+        SchemaChange(8, "alter_column", {"name": "score", "default": 7}),
+    ]
+    eng = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckpt"),
+                    schema_changes=changes)
+    eng.run_available()
+
+    assert target.schema()["score"].dataType == T.LongType()
+    got = {(r.conv_id, r.turn_idx): r.score for r in target.read().collect()}
+    assert got == {("a", 0): 1 << 40, ("a", 1): 2, ("b", 0): 1 << 41,
+                   ("c", 0): None}
+    # declared default now 7; materialized rows were not rewritten
+    assert target.column_default("score") == 7
+    # both alters historized
+    alters = [r for r in target.schema_history().collect()
+              if r.altered is not None]
+    assert len(alters) == 2
+
+    # replay from scratch on the same target (fresh checkpoint):
+    # idempotent DDL + idempotent batch MERGE -> identical final state
+    eng2 = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckpt2"),
+                     schema_changes=changes)
+    eng2.run_available()
+    got2 = {(r.conv_id, r.turn_idx): r.score for r in target.read().collect()}
+    assert got2 == got
+
+    # narrowing is refused; re-widening to the current type is a no-op
+    import pytest
+    with pytest.raises(ValueError, match="not a widening"):
+        target.alter_column("score", "int")
+    v = target.current_version()
+    target.alter_column("score", "bigint")
+    assert target.current_version() == v
+
+
+def test_alter_column_decimal_widening_rules(spark, tmpdir_path):
+    """decimal(p,s) widens only when no integer digit or scale is lost;
+    int->decimal needs >=10 integer digits (the lossless-cast rule)."""
+    import pytest
+
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2,
+    )
+    target.add_column("amount", "decimal(5,2)")
+    target.alter_column("amount", "decimal(8,3)")      # +3 digits, +1 scale
+    assert target.schema()["amount"].dataType == T.DecimalType(8, 3)
+    with pytest.raises(ValueError, match="not a widening"):
+        target.alter_column("amount", "decimal(8,4)")  # loses an int digit
+    with pytest.raises(ValueError, match="not a widening"):
+        target.alter_column("amount", "decimal(7,2)")  # loses scale
+    target.add_column("n", "int")
+    with pytest.raises(ValueError, match="not a widening"):
+        target.alter_column("n", "decimal(9,0)")       # int needs 10 digits
+    target.alter_column("n", "decimal(12,2)")
+    assert target.schema()["n"].dataType == T.DecimalType(12, 2)
+    with pytest.raises(ValueError, match="does not exist"):
+        target.alter_column("ghost", "bigint")
