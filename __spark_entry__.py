@@ -652,6 +652,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_dedup_conversations(spark, sf_dir):
+    """Conversation-level exact dedup (``conversation_dedup``): documents
+    grouped into synthetic 10-turn conversations (conv = doc_id/10,
+    turn = doc_id%10 — unique turn ids per conv, so the ordered
+    fingerprint is well-defined in both engines), one md5 fingerprint
+    per conversation over the *ordered* per-turn fingerprints, then
+    keeper + duplicate count per fingerprint — the transcript-payload
+    analogue of ``dedup_exact``."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("int").alias("turn"),
+        "text",
+    )
+    return DD.conversation_dedup(docs, "conv", "turn", "text")
+
+
 #: Document-frequency cap on shingles in the graded near-dup query: the
 #: skew guard that keeps the inverted-index self-join linear (a single
 #: stop-shingle otherwise makes it quadratic in its posting-list length).
@@ -811,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q_q3_top_revenue,
         "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
+        "dedup_conversations": q_dedup_conversations,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1426,6 +1443,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {TX.lang_id_sql('text')} AS lang_pred FROM documents
         """,
         "doc_fingerprint": f"SELECT doc_id, {fpq} AS fp FROM documents",
+        "dedup_conversations": f"""
+            WITH turns AS (
+              SELECT doc_id // 10 AS conv_id,
+                     doc_id % 10 AS turn_idx,
+                     {fpq} AS turn_fp
+              FROM documents),
+            conv AS (
+              SELECT conv_id,
+                     md5(string_agg(turn_fp, '|' ORDER BY turn_idx))
+                       AS conv_fp
+              FROM turns GROUP BY conv_id)
+            SELECT conv_fp,
+                   min(conv_id) AS keeper_conv,
+                   count(*) AS n_convs
+            FROM conv GROUP BY conv_fp
+        """,
         "dedup_ngram_jaccard": ngram_pairs_sql,
         "dedup_cluster_keepers": f"""
             WITH RECURSIVE pairs AS ({ngram_pairs_sql}),

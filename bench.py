@@ -51,12 +51,13 @@ HEADLINE = [
 ]
 
 #: CDC end-to-end is measured at these multiples of the base op count —
-#: three log-spaced points (1x, 4x, 16x) show how throughput trends as
-#: the log grows toward the 10^10-event regime (fixed per-batch costs
-#: amortize; same warm/cold protocol at every point).
+#: log-spaced points (1x, 4x, 64x: two doubling-pairs of 4x each) show
+#: how throughput trends as the log grows toward the 10^10-event regime
+#: (fixed per-batch costs amortize; same warm/cold protocol at every
+#: point).
 SCALE_MULTS = [
     float(m) for m in
-    os.environ.get("SPARK_GRAFT_SCALE_MULTS", "1,4,16").split(",") if m
+    os.environ.get("SPARK_GRAFT_SCALE_MULTS", "1,4,64").split(",") if m
 ]
 
 #: Warm passes per headline query; the reported floor is the min across

@@ -41,6 +41,52 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def conversation_fingerprint(
+    df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+) -> DataFrame:
+    """Per-conversation fingerprint over *ordered* turns: md5 of the
+    '|'-joined per-turn fingerprints in ``turn_col`` order — the
+    transcript-level identity a training pipeline dedups on (two
+    conversations are duplicates iff they say the same things in the
+    same order; the same turns reordered are different conversations).
+
+    Shape: one map-side per-turn fingerprint, then a single groupBy on
+    the conversation id with ``sort_array(collect_list(...))`` — state
+    per group is bounded by conversation length (same bound as the
+    per-transaction classify window), so this scales to any number of
+    conversations; it does NOT require globally sorted input.
+    Returns (conv_id, conv_fp).
+    """
+    turn_fp = F.struct(
+        F.col(turn_col).alias("t"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    return (
+        df.select(F.col(conv_col).alias("conv_id"), turn_fp.alias("tf"))
+        .groupBy("conv_id")
+        .agg(F.md5(F.concat_ws(
+            "|",
+            F.transform(F.sort_array(F.collect_list("tf")),
+                        lambda x: x["fp"]))).alias("conv_fp"))
+    )
+
+
+def conversation_dedup(
+    df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+) -> DataFrame:
+    """Exact conversation-level dedup: one row per distinct ordered-turn
+    fingerprint with the keeper (min conv id) and the duplicate count —
+    ``exact_dedup``'s contract lifted from documents to multi-turn
+    transcripts.  Two shuffles total (conv rollup, fingerprint rollup),
+    both map-side combined."""
+    return (
+        conversation_fingerprint(df, conv_col, turn_col, text_col)
+        .groupBy("conv_fp")
+        .agg(F.min("conv_id").alias("keeper_conv"),
+             F.count(F.lit(1)).alias("n_convs"))
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -282,3 +282,24 @@ def test_ivf_topk_broadcast_centroids_parity(spark):
     assert "CartesianProduct" not in plan
     # the centroid components are NOT plan literals in the broadcast path
     assert plan.count("0.05") < 50
+
+
+def test_conversation_dedup_order_sensitive(spark):
+    """Conversation fingerprints are order-sensitive over turns: two
+    conversations with identical ordered turns dedup together even when
+    their rows arrive shuffled; the same turns in a different order are
+    a different conversation."""
+    rows = [
+        # conv 1 and conv 2: same turns, same order (rows interleaved)
+        (1, 0, "hello there"), (2, 1, "General Kenobi!"),
+        (1, 1, "general kenobi"), (2, 0, "Hello, there"),
+        # conv 3: same turns, swapped order
+        (3, 0, "general kenobi"), (3, 1, "hello there"),
+        # conv 4: different content
+        (4, 0, "something else"), (4, 1, "entirely"),
+    ]
+    df = spark.createDataFrame(rows, "conv: long, turn: int, text: string")
+    out = {r.conv_fp: (r.keeper_conv, r.n_convs)
+           for r in DD.conversation_dedup(df, "conv", "turn", "text")
+           .collect()}
+    assert sorted(out.values()) == [(1, 2), (3, 1), (4, 1)]
