@@ -179,3 +179,46 @@ def word_shingles_sql(expr: str, k: int = 3) -> str:
         f"range(1, greatest(length({toks}) - {k - 1}, 0) + 1),"
         f" i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
     )
+
+
+#: PII redaction rules applied in order (order matters: emails before
+#: IPv4 before SSN before phone, so digit-group patterns never clip a
+#: longer match).  Regex syntax restricted to the common subset of Java
+#: regex (Spark) and RE2 (DuckDB oracle) — no backrefs, no lookaround.
+PII_RULES = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact common PII shapes (emails, IPv4, SSN-like, phone-like) to
+    typed placeholder tokens — the standard pre-training scrub pass.
+    Pure chained ``regexp_replace``: codegen'd JVM expressions, no UDF.
+    """
+    out = col
+    for pat, token in PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    # DuckDB single-quoted strings are not escape-processed (standard
+    # SQL), so the regex goes in verbatim — no backslash doubling.
+    out = expr
+    for pat, token in PII_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
+    return out
+
+
+def had_pii(col: Column) -> Column:
+    """True iff :func:`scrub_pii` would change the text — the audit/
+    filter companion (drop or quarantine documents with PII)."""
+    return scrub_pii(col) != col
+
+
+def had_pii_sql(expr: str) -> str:
+    return f"({scrub_pii_sql(expr)} != {expr})"
