@@ -89,6 +89,10 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # JVM unified-logging warnings (GCLocker retries under the 64x
+        # point) print to stdout and would corrupt the single-JSON-line
+        # contract the driver parses — silence them
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
