@@ -168,3 +168,139 @@ class FeedPublisher:
         if not segs:
             raise ValueError(f"{self.hb_dir} has no heartbeat segments")
         return self.engine.spark.read.parquet(*segs).orderBy("epoch")
+
+
+class MultiFeedPublisher:
+    """One transaction-ordered topic across all tables of a shared
+    binlog — the cross-table counterpart of :class:`FeedPublisher`.
+
+    The reference publishes per-table topics, but its transaction
+    metadata spans the whole commit (``TransactionMetadataIT.java:
+    104-117``: total_order counts 1..2N over two tables); consumers that
+    reassemble transactions need the tables' events in one LSN-ordered
+    stream.  Per-table engines batch independently, so an LSN interval
+    is publishable only once **every** table has applied past it:
+
+    * each engine's ``on_batch`` hook (from :meth:`hook_for`) advances
+      that table's in-memory applied watermark and tries to drain;
+    * the drain publishes the interval ``(published_to,
+      min(table watermarks)]`` via ``export_envelope_multi`` — the
+      cross-table envelope with commit-spanning transaction blocks;
+    * the segment path encodes the interval, and ``published_to`` is
+      recovered from the segment listing, so publishing is idempotent
+      under replays and resumes correctly after a restart (watermarks
+      re-derive from the engines' checkpoints — the same at-least-once
+      hook + idempotent-segment contract as the single-table publisher).
+
+    Intervals are contiguous: every drained interval is written (an
+    interval with no events across all tables becomes an empty segment)
+    so the watermark always advances and a consumer's union of segments
+    is gap-free.
+    """
+
+    def __init__(self, engines: dict, feed_dir: str,
+                 tombstones: bool = True, transaction_block: bool = True,
+                 **envelope_kwargs):
+        if not engines:
+            raise ValueError("MultiFeedPublisher needs at least one engine")
+        self.engines = dict(engines)
+        self.dir = os.path.abspath(feed_dir)
+        self.tombstones = tombstones
+        self.transaction_block = transaction_block
+        self.envelope_kwargs = envelope_kwargs
+        self.spark = next(iter(self.engines.values())).spark
+        #: in-memory applied positions (ahead of checkpoints inside the
+        #: pre-checkpoint hook window); checkpoints are the floor
+        self._applied: dict[str, int] = {}
+        os.makedirs(self.dir, exist_ok=True)
+
+    def hook_for(self, table: str):
+        """The ``on_batch`` hook for ``engines[table]``::
+
+            for name, eng in engines.items():
+                eng.run_available(on_batch=pub.hook_for(name))
+        """
+        if table not in self.engines:
+            raise ValueError(f"unknown table {table!r}")
+
+        def _hook(m):
+            self._applied[table] = max(self._applied.get(table, 0), m.to_lsn)
+            return self.drain()
+
+        return _hook
+
+    def heartbeat(self, table: str, to_lsn: int) -> None:
+        """Advance an idle table's watermark: a table with no events in
+        ``(checkpoint, to_lsn]`` never gets a batch, its checkpoint never
+        moves, and it would stall the cross-table frontier forever — the
+        exact low-traffic-source problem Debezium's heartbeats exist for.
+        Call after the table's engine has drained to ``to_lsn``."""
+        self._applied[table] = max(self._applied.get(table, 0), int(to_lsn))
+
+    def run_all(self) -> list[str]:
+        """Drain every engine with its hook wired, heartbeat idle tables
+        up to the shared binlog max, and publish everything publishable.
+        The one-call form of the wiring shown in :meth:`hook_for`."""
+        for name, eng in self.engines.items():
+            eng.run_available(on_batch=self.hook_for(name))
+            # the engine just drained to the binlog's current max: even
+            # with zero events for this table, that frontier is consumed
+            self.heartbeat(name, eng.binlog.max_lsn() or 0)
+        return self.drain()
+
+    def published_to(self) -> int:
+        """Highest LSN covered by a published segment (0 if none)."""
+        return max((int(d.rsplit("-", 1)[1]) for d in os.listdir(self.dir)
+                    if d.startswith("mseg-")), default=0)
+
+    def _watermark(self) -> int:
+        """The cross-table publishable frontier: every table has applied
+        (merge-committed) at least this far."""
+        marks = []
+        for table, eng in self.engines.items():
+            ck = eng.checkpoint.read().commit_lsn
+            marks.append(max(ck, self._applied.get(table, 0)))
+        return min(marks)
+
+    def drain(self) -> list[str]:
+        """Publish every complete interval past ``published_to``;
+        returns the new segment paths (empty when nothing is ready).
+        Safe to call at any time — e.g. once after restarting the
+        engines, to publish a backlog the crashed process never did."""
+        from debezium_connector_db2_spark.streaming.engine import (
+            export_envelope_multi,
+        )
+
+        frm = self.published_to()
+        to = self._watermark()
+        if to <= frm:
+            return []
+        seg = f"mseg-{frm}-{to}"
+        final = os.path.join(self.dir, seg)
+        if os.path.exists(final):
+            return []
+        df = export_envelope_multi(
+            self.engines, frm + 1, to, tombstones=self.tombstones,
+            transaction_block=self.transaction_block,
+            **self.envelope_kwargs,
+        )
+        tmp = os.path.join(self.dir, f".tmp-{seg}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        return [final]
+
+    def segments(self) -> list[str]:
+        def key(d):
+            return int(d.split("-")[1])
+        return [os.path.join(self.dir, d)
+                for d in sorted((d for d in os.listdir(self.dir)
+                                 if d.startswith("mseg-")), key=key)]
+
+    def read(self, ordered: bool = True) -> DataFrame:
+        """The cross-table feed in commit order: (commit_lsn,
+        intent_seq) is a total order across tables on a shared binlog."""
+        segs = self.segments()
+        if not segs:
+            raise ValueError(f"feed {self.dir} has no published segments")
+        df = self.spark.read.parquet(*segs)
+        return df.orderBy("commit_lsn", "intent_seq") if ordered else df

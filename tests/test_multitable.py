@@ -112,3 +112,83 @@ def test_cross_table_transaction_block(spark, tmpdir_path):
     assert got == [("tablea", 1, 1), ("tableb", 2, 1),
                    ("tablea", 3, 2), ("tableb", 4, 2)]
     assert {r.envelope.transaction.id for r in out} == {"0000000000000007"}
+
+
+def _two_engines(spark, tmpdir_path, rows, max_lsns_per_batch=None):
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    engines = {}
+    for name in ("tablea", "tableb"):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, name),
+                             TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                             n_buckets=2)
+        engines[name] = CdcEngine(spark, src, t,
+                                  os.path.join(tmpdir_path, f"ck-{name}"),
+                                  table=name,
+                                  max_lsns_per_batch=max_lsns_per_batch)
+    return src, engines
+
+
+def test_multi_feed_publisher_cross_table_order(spark, tmpdir_path):
+    """MultiFeedPublisher: one transaction-ordered topic across tables.
+    An interval publishes only once EVERY table has applied past it
+    (per-table engines batch independently); the published stream is in
+    (commit_lsn, intent_seq) order across tables with commit-spanning
+    transaction blocks."""
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(1, 1, "I", "tableb", "b", 0, "b0"),
+        _row(2, 0, "U", "tablea", "a", 0, "a0-v2"),
+        _row(3, 0, "I", "tableb", "b", 1, "b1"),
+    ]
+    src, engines = _two_engines(spark, tmpdir_path, rows,
+                                max_lsns_per_batch=2)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+
+    # after only tablea has run, nothing publishes: tableb's side of the
+    # interval is not yet applied
+    engines["tablea"].run_available(on_batch=pub.hook_for("tablea"))
+    assert pub.segments() == []
+
+    engines["tableb"].run_available(on_batch=pub.hook_for("tableb"))
+    pub.drain()
+    assert len(pub.segments()) >= 1
+    assert pub.published_to() == 3
+
+    got = [r for r in pub.read().collect() if r.envelope is not None]
+    assert [(r.commit_lsn, r.table, r.envelope.op) for r in got] == [
+        (1, "tablea", "c"), (1, "tableb", "c"),
+        (2, "tablea", "u"), (3, "tableb", "c")]
+    # transaction block spans the commit across both tables
+    tx1 = [r for r in got if r.commit_lsn == 1]
+    assert [r.envelope.transaction.total_order for r in tx1] == [1, 2]
+    assert [r.envelope.transaction.data_collection_order for r in tx1] == [1, 1]
+
+    # drain is idempotent: replaying every batch publishes nothing new
+    n = len(pub.segments())
+    pub2 = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+    assert pub2.run_all() == []
+    assert len(pub2.segments()) == n
+
+
+def test_multi_feed_publisher_idle_table_heartbeat(spark, tmpdir_path):
+    """A table with no events must not stall the cross-table frontier:
+    run_all heartbeats idle tables to the binlog max, so the interval
+    publishes even though tableb's checkpoint never moved."""
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(2, 0, "U", "tablea", "a", 0, "a0-v2"),
+    ]
+    src, engines = _two_engines(spark, tmpdir_path, rows)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+    pub.run_all()
+    # the frontier advanced past tableb despite it contributing no events
+    # (its empty batches / the heartbeat carry it to the binlog max)
+    assert len(pub.segments()) == 1 and pub.published_to() == 2
+    got = [r for r in pub.read().collect() if r.envelope is not None]
+    assert [(r.table, r.envelope.op) for r in got] == [
+        ("tablea", "c"), ("tablea", "u")]
