@@ -44,7 +44,10 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_conversations",
     "text_stats",
+    "text_scrub_pii",
+    "text_vocab_topk",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "media_decode",
