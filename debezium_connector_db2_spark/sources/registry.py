@@ -140,3 +140,39 @@ class CaptureRegistry:
             "stopped_instances": sum(1 for e in entries
                                      if e["stop_lsn"] is not None),
         }
+
+
+#: Debezium core's exact warning text (DatabaseSchema.
+#: NO_CAPTURED_DATA_COLLECTIONS_WARNING), asserted by
+#: ``Db2ConnectorIT.java:718-735`` testEmptySchemaWarningAfterApplyingFilters.
+NO_CAPTURED_TABLES_WARNING = (
+    "After applying the include/exclude list filters, no changes will be "
+    "captured. Please check your configuration!")
+
+
+def captured_tables(registry: "CaptureRegistry",
+                    include: list[str] | None = None,
+                    exclude: list[str] | None = None,
+                    notifications=None) -> list[str]:
+    """The capture set after include/exclude filtering — and the
+    reference's loud warning when it comes out empty
+    (``Db2ConnectorIT.java:718-735``: a connector configured with a
+    non-matching ``table.include.list`` runs but captures nothing; the
+    warning is the only signal).  Emits to the log and, when a
+    notification channel is given, as an aggregate-type
+    ``Capture Filters`` notification."""
+    import logging
+
+    tables = registry.active_tables()
+    if include is not None:
+        inc = set(include)
+        tables = [t for t in tables if t in inc]
+    if exclude is not None:
+        exc = set(exclude)
+        tables = [t for t in tables if t not in exc]
+    if not tables:
+        logging.getLogger(__name__).warning(NO_CAPTURED_TABLES_WARNING)
+        if notifications is not None:
+            notifications.emit("Capture Filters", "EMPTY_CAPTURE_SET",
+                               {"include": include, "exclude": exclude})
+    return tables

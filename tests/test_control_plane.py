@@ -191,3 +191,41 @@ def test_lsn_codecs(spark):
     # hex rendering preserves order (the Lsn.java lexicographic contract)
     hexes = [r.h for r in out]
     assert sorted(hexes) == [h for _, h in sorted((r.back, r.h) for r in out)]
+
+
+def test_empty_capture_set_warning(tmpdir_path, caplog):
+    """A non-matching include list runs but captures nothing; the only
+    signal is Debezium core's exact warning text
+    (Db2ConnectorIT.java:718-735 testEmptySchemaWarningAfterApplyingFilters,
+    DatabaseSchema.NO_CAPTURED_DATA_COLLECTIONS_WARNING) — mirrored here
+    on the log and the notification channel."""
+    import logging
+    import os
+
+    from debezium_connector_db2_spark.sources.registry import (
+        NO_CAPTURED_TABLES_WARNING,
+        CaptureRegistry,
+        captured_tables,
+    )
+    from debezium_connector_db2_spark.streaming.notifications import (
+        NotificationLog,
+    )
+
+    reg = CaptureRegistry(os.path.join(tmpdir_path, "reg"))
+    reg.register_table("tablea")
+    reg.register_table("tableb")
+    notif = NotificationLog(os.path.join(tmpdir_path, "notif"))
+
+    # matching filters: no warning
+    with caplog.at_level(logging.WARNING):
+        assert captured_tables(reg, include=["tablea"]) == ["tablea"]
+        assert captured_tables(reg, exclude=["tablea"]) == ["tableb"]
+    assert NO_CAPTURED_TABLES_WARNING not in caplog.text
+
+    # non-matching include list: empty set + the exact core warning
+    with caplog.at_level(logging.WARNING):
+        assert captured_tables(reg, include=["my_products"],
+                               notifications=notif) == []
+    assert NO_CAPTURED_TABLES_WARNING in caplog.text
+    kinds = [(n["aggregate_type"], n["type"]) for n in notif.read()]
+    assert ("Capture Filters", "EMPTY_CAPTURE_SET") in kinds

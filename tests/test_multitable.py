@@ -192,3 +192,32 @@ def test_multi_feed_publisher_idle_table_heartbeat(spark, tmpdir_path):
     got = [r for r in pub.read().collect() if r.envelope is not None]
     assert [(r.table, r.envelope.op) for r in got] == [
         ("tablea", "c"), ("tablea", "u")]
+
+
+def test_case_sensitive_table_names(spark, tmpdir_path):
+    """Mixed-case object names round-trip exactly
+    (Db2CaseSensitiveObjectIT.java:62 testCaseSensitiveSchemaAndTable):
+    the engine's table filter is an exact case-sensitive match, so
+    'MyTableA' and 'mytablea' are distinct capture feeds, and the
+    envelope's source.table preserves the case."""
+    rows = [
+        _row(1, 0, "I", "MyTableA", "a", 0, "upper"),
+        _row(2, 0, "I", "mytablea", "a", 0, "lower"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    engines = {}
+    for name in ("MyTableA", "mytablea"):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, f"t-{name}"),
+                             TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                             n_buckets=2)
+        engines[name] = CdcEngine(spark, src, t,
+                                  os.path.join(tmpdir_path, f"ck-{name}"),
+                                  table=name)
+        engines[name].run_available()
+    assert [r.text for r in engines["MyTableA"].target.read().collect()] \
+        == ["upper"]
+    assert [r.text for r in engines["mytablea"].target.read().collect()] \
+        == ["lower"]
+    env = engines["MyTableA"].export_envelope(1, 2).collect()
+    assert [r.envelope.source.table for r in env] == ["MyTableA"]
