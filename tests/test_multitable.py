@@ -221,3 +221,46 @@ def test_case_sensitive_table_names(spark, tmpdir_path):
         == ["lower"]
     env = engines["MyTableA"].export_envelope(1, 2).collect()
     assert [r.envelope.source.table for r in env] == ["MyTableA"]
+
+
+def test_multi_feed_publisher_crash_recovery(spark, tmpdir_path):
+    """Crash window for the cross-table feed: tablea merges then dies
+    before its checkpoint; a fresh publisher over the same feed dir
+    resumes from the segment listing + engine checkpoints, replays the
+    dedup-skipped batch, and the feed ends complete with no duplicate
+    segments."""
+    from debezium_connector_db2_spark.streaming.engine import SimulatedCrash
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    import pytest
+
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(2, 0, "I", "tableb", "b", 0, "b0"),
+        _row(3, 0, "U", "tablea", "a", 0, "a0-v2"),
+    ]
+    src, engines = _two_engines(spark, tmpdir_path, rows)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+
+    with pytest.raises(SimulatedCrash):
+        engines["tablea"].run_available(
+            on_batch=pub.hook_for("tablea"), crash_after_merge_epoch=1)
+    assert pub.segments() == []       # nothing publishable pre-crash
+
+    # restart: fresh engines (same checkpoints/targets), fresh publisher
+    src2, _ = src, None
+    restarted = {}
+    for name, eng in engines.items():
+        restarted[name] = CdcEngine(
+            spark, src2, eng.target,
+            os.path.join(tmpdir_path, f"ck-{name}"), table=name)
+    pub2 = MultiFeedPublisher(restarted, os.path.join(tmpdir_path, "feed"))
+    pub2.run_all()
+    assert pub2.published_to() == 3
+    got = [r for r in pub2.read().collect() if r.envelope is not None]
+    assert [(r.commit_lsn, r.table, r.envelope.op) for r in got] == [
+        (1, "tablea", "c"), (2, "tableb", "c"), (3, "tablea", "u")]
+    # replaying everything again publishes nothing new
+    pub3 = MultiFeedPublisher(restarted, os.path.join(tmpdir_path, "feed"))
+    assert pub3.run_all() == []
+    assert len(pub3.segments()) == len(pub2.segments())
