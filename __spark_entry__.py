@@ -687,6 +687,20 @@ def q_text_vocab_topk(spark, sf_dir):
     return ngram_vocab(docs, "text", k=1, top_k=200, min_df=2)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition signals (Gopher/RefinedWeb-style
+    quality filters): fraction of word 2-grams repeating an earlier
+    2-gram and fraction of duplicate sentences — pure per-row array
+    expressions, zero shuffle (``functions.text.dup_ngram_fraction`` /
+    ``dup_line_fraction``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.dup_ngram_fraction(F.col("text"), 2).alias("dup_2gram_frac"),
+        TX.dup_line_fraction(F.col("text")).alias("dup_line_frac"),
+    )
+
+
 def q_dedup_conversations(spark, sf_dir):
     """Conversation-level exact dedup (``conversation_dedup``): documents
     grouped into synthetic 10-turn conversations (conv = doc_id/10,
@@ -864,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_conversations": q_dedup_conversations,
         "text_scrub_pii": q_text_scrub_pii,
+        "text_repetition": q_text_repetition,
         "text_vocab_topk": q_text_vocab_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1492,6 +1507,12 @@ def oracle_sql() -> dict[str, str]:
                    {TX.scrub_pii_sql('t')} AS clean,
                    {TX.had_pii_sql('t')} AS had_pii
             FROM salted
+        """,
+        "text_repetition": f"""
+            SELECT doc_id,
+                   {TX.dup_ngram_fraction_sql('text', 2)} AS dup_2gram_frac,
+                   {TX.dup_line_fraction_sql('text')} AS dup_line_frac
+            FROM documents
         """,
         "text_vocab_topk": f"""
             WITH grams AS (

@@ -239,3 +239,48 @@ def had_pii_sql(expr: str) -> str:
     return f"({scrub_pii_sql(expr)} != {expr})"
 
 
+
+
+def dup_ngram_fraction(col: Column, k: int = 2) -> Column:
+    """Fraction of word k-grams that are repeats of an earlier k-gram in
+    the same document — the intra-document repetition signal
+    (Gopher/RefinedWeb-style quality filters drop docs above ~0.2).
+    Pure per-row array expressions: zero shuffle, whole-stage codegen.
+    0.0 for docs shorter than k tokens."""
+    n = F.size(F.split(F.trim(col), r"\s+"))
+    total = F.greatest(n - (k - 1), F.lit(0))
+    distinct = F.size(word_shingles(col, k))
+    return F.round(
+        F.when(total <= 0, F.lit(0.0))
+        .otherwise(1.0 - distinct / total), 6)
+
+
+def dup_ngram_fraction_sql(expr: str, k: int = 2) -> str:
+    toks = f"regexp_split_to_array(trim({expr}), '\\s+')"
+    total = f"greatest(length({toks}) - {k - 1}, 0)"
+    distinct = f"length({word_shingles_sql(expr, k)})"
+    return (
+        f"round(CASE WHEN {total} <= 0 THEN 0.0 "
+        f"ELSE 1.0 - {distinct} * 1.0 / {total} END, 6)"
+    )
+
+
+def dup_line_fraction(col: Column, sep: str = r"\.\s+") -> Column:
+    """Fraction of lines/sentences (split on ``sep``) that repeat an
+    earlier one — boilerplate detection within a document."""
+    parts = F.filter(F.split(F.trim(col), sep), lambda x: x != "")
+    total = F.size(parts)
+    distinct = F.size(F.array_distinct(parts))
+    return F.round(
+        F.when(total <= 0, F.lit(0.0))
+        .otherwise(1.0 - distinct / total), 6)
+
+
+def dup_line_fraction_sql(expr: str, sep: str = r"\.\s+") -> str:
+    parts = (f"list_filter(regexp_split_to_array(trim({expr}), '{sep}'),"
+             f" x -> x != '')")
+    return (
+        f"round(CASE WHEN length({parts}) <= 0 THEN 0.0 "
+        f"ELSE 1.0 - length(list_distinct({parts})) * 1.0"
+        f" / length({parts}) END, 6)"
+    )

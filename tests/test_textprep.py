@@ -50,3 +50,20 @@ def test_ngram_vocab_rank_and_floor(spark):
     plan = (ngram_vocab(df, "t", k=1, top_k=3, min_df=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan     # no global sort of grams
+
+
+def test_intra_doc_repetition(spark):
+    rows = [
+        (0, "a b a b a b"),                      # 2-grams: 5 total, 2 distinct
+        (1, "one. two. one. three. "),           # 4 sentences, 3 distinct
+        (2, "all distinct words here"),
+        (3, "x"),                                # shorter than k -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "i: long, t: string")
+    got = {r.i: (r.g, r.l) for r in df.select(
+        "i", TX.dup_ngram_fraction(F.col("t"), 2).alias("g"),
+        TX.dup_line_fraction(F.col("t")).alias("l")).collect()}
+    assert got[0] == (0.6, 0.0)
+    assert got[1] == (0.0, 0.25)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
