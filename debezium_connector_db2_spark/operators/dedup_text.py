@@ -189,19 +189,20 @@ def minhash_lsh_pairs(
           for i in range(n_hashes)]
     )
 
-    band_rows = []
+    # one explode pass instead of a bands-way union: every band branch
+    # would re-project the cached signature table and multiply the plan
+    # (and its codegen) by 2*bands across the self-join below
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col("doc_id"),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
-            )
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+        ))
+    buckets = (sig.select("doc_id",
+                          F.explode(F.array(*band_structs)).alias("bb"))
+               .select("doc_id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
 
     cand = (
         buckets.alias("x")
