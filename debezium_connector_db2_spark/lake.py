@@ -92,6 +92,8 @@ class LakeTable:
         bucket_by: str,
         n_buckets: int = DEFAULT_N_BUCKETS,
         versioned: bool = False,
+        merge_mode: str = "cow",
+        key_cols: Sequence[str] | None = None,
     ) -> "LakeTable":
         """``versioned=True`` stores per-row ``__commit_lsn/__intent_seq/
         __deleted`` metadata and makes MERGE **order-insensitive across
@@ -101,7 +103,35 @@ class LakeTable:
         and deletes persist as tombstone rows (filtered on read, removed
         by ``vacuum_tombstones``) so they cannot be resurrected by late
         older updates.  The unversioned default relies on the engine
-        feeding batches in LSN order (which ``CdcEngine`` guarantees)."""
+        feeding batches in LSN order (which ``CdcEngine`` guarantees).
+
+        ``merge_mode`` picks the MERGE physical strategy (Iceberg's
+        ``write.merge.mode``):
+
+        * ``"cow"`` (copy-on-write, default) — each MERGE rewrites the
+          touched buckets; reads are a plain scan.  Right when batches
+          are large relative to the table or reads dominate.
+        * ``"mor"`` (merge-on-read) — each MERGE only *appends* the
+          change rows as per-bucket delta files (one write job: no read
+          of existing data, no rewrite); readers resolve the per-key
+          last-writer via the ``(__commit_lsn, __intent_seq)`` argmax,
+          and ``compact()`` folds deltas back to one base file per
+          bucket.  Right for high-frequency micro-batches over a large
+          table — write amplification drops from O(table-slice) to
+          O(changes) per batch.  Requires ``versioned=True`` and
+          ``key_cols`` (the resolution identity, persisted in the
+          manifest so any reader agrees on it).
+        """
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        if merge_mode == "mor":
+            if not versioned:
+                raise ValueError("merge_mode='mor' requires versioned=True "
+                                 "(delta resolution needs the per-row "
+                                 "position metadata)")
+            if not key_cols:
+                raise ValueError("merge_mode='mor' requires key_cols "
+                                 "(the per-key resolution identity)")
         t = cls(spark, path)
         os.makedirs(os.path.join(t.path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
@@ -111,6 +141,8 @@ class LakeTable:
             "bucket_by": bucket_by,
             "n_buckets": n_buckets,
             "versioned": versioned,
+            "merge_mode": merge_mode,
+            "key_cols": list(key_cols) if key_cols else None,
             "schema_versions": [
                 {"version": 0, "schema_json": schema.jsonValue(), "added": {}, "renamed": {}}
             ],
@@ -482,6 +514,9 @@ class LakeTable:
                 [], T.StructType(list(target.fields) + (meta_fields if raw else []))
             )
 
+        inner_cols = [f.name for f in target.fields] + (
+            VERSION_META_COLS if versioned else []
+        )
         parts = []
         for sv, paths in sorted(by_schema.items()):
             fschema = T.StructType(list(svs[sv].struct.fields) + meta_fields)
@@ -500,13 +535,36 @@ class LakeTable:
                     if "dtype" in delta:
                         df = df.withColumn(
                             name, F.col(name).cast(delta["dtype"]))
-            if versioned and not raw:
-                df = df.where(~F.coalesce(F.col("__deleted"), F.lit(False)))
-            parts.append(df.select(out_cols))
+            parts.append(df.select(inner_cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if versioned and m.get("merge_mode", "cow") == "mor":
+            # merge-on-read resolution: base + delta rows collapse to the
+            # per-key (__commit_lsn, __intent_seq) winner.  One shuffle on
+            # the key — the read-side half of the MoR tradeoff (writes
+            # became O(changes)); compact() folds deltas so steady-state
+            # reads pay it over one file per bucket.
+            out = self._resolve_latest(out, m["key_cols"], target)
+        if versioned and not raw:
+            out = out.where(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        return out.select(out_cols)
+
+    def _resolve_latest(self, df: DataFrame, key_cols: Sequence[str],
+                        target: T.StructType) -> DataFrame:
+        """Per-key last-writer resolution over base + delta rows
+        (merge-on-read): argmax on ``(__commit_lsn, __intent_seq)``.
+        Exact position ties (impossible from a correct engine, possible
+        from hand-written deltas) break deterministically on the
+        remaining struct fields."""
+        data_cols = [f.name for f in target.fields if f.name not in key_cols]
+        ordered = ["__commit_lsn", "__intent_seq", "__deleted"] + data_cols
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.max(F.struct(*ordered)).alias("__w"))
+            .select(*key_cols,
+                    *[F.col("__w")[c].alias(c) for c in ordered])
+        )
 
     # -- write paths --------------------------------------------------------
 
@@ -624,6 +682,33 @@ class LakeTable:
         cols = [f.name for f in self.schema(m).fields]
 
         ch = self._with_bucket(changes, m)
+
+        if m.get("merge_mode", "cow") == "mor":
+            # Merge-on-read: append the (already per-key-deduped) change
+            # rows as per-bucket delta files — ONE write job proportional
+            # to the batch, no read of existing data, no rewrite, no
+            # driver-side probes.  Resolution happens on read
+            # (_resolve_latest); compact() folds deltas into the base.
+            incoming = ch.select(
+                *[F.col(k) for k in key_cols],
+                F.col("commit_lsn").alias("__commit_lsn"),
+                F.col("intent_seq").alias("__intent_seq"),
+                (F.col(op_col) == delete_op).alias("__deleted"),
+                *[F.col(c) for c in cols if c not in key_cols],
+                F.col("__bucket"),
+            )
+            new_files = self._write_files(
+                incoming.select(*cols, *VERSION_META_COLS, "__bucket"),
+                m["current_schema_version"])
+            files = {b: list(ents) for b, ents in m["files"].items()}
+            for b, ents in new_files.items():
+                files[str(b)] = files.get(str(b), []) + ents
+            m["files"] = files
+            self._commit_child(
+                m, summary or {"operation": "merge-delta",
+                               "delta_buckets": len(new_files)}, batch_id)
+            return True
+
         # Manifest-level pruning: which buckets does this batch touch?
         # Bounded by n_buckets, so the collect is tiny.
         touched = [r["__bucket"] for r in ch.select("__bucket").distinct().collect()]
