@@ -368,6 +368,10 @@ class LakeTable:
              "added": {}, "renamed": {old: new}}
         )
         m["current_schema_version"] = ver
+        # merge-on-read resolution identity follows the rename (old delta
+        # files are upgraded to the new name on read before resolution)
+        if m.get("key_cols") and old in m["key_cols"]:
+            m["key_cols"] = [new if k == old else k for k in m["key_cols"]]
         self._commit_child(m, {"operation": "rename-column", "from": old, "to": new})
 
     _ALTER_UNSET = object()

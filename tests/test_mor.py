@@ -158,3 +158,23 @@ def test_mor_engine_replay_matches_oracle(spark, tmpdir_path):
     diff2 = (got2.select(c).exceptAll(want.select(c)).count()
              + want.select(c).exceptAll(got2.select(c)).count())
     assert diff2 == 0
+
+
+def test_mor_rename_key_column_keeps_resolution(spark, tmpdir_path):
+    """Renaming a resolution key column updates the manifest's key_cols;
+    pre-rename delta files upgrade to the new name on read and still
+    resolve correctly."""
+    t = _mor(spark, os.path.join(tmpdir_path, "t"))
+    t.merge_changes(_changes(spark, [("c", 1, 0, "a", 0, "v1")]),
+                    PK, batch_id="b1")
+    t.rename_column("turn_idx", "turn_no")
+    assert t.manifest()["key_cols"] == ["conv_id", "turn_no"]
+    # post-rename delta still merges and resolves against the old one
+    post = spark.createDataFrame(
+        [("c", 2, 0, "a", 0, "user", "v2", None, TS)],
+        "op: string, commit_lsn: long, intent_seq: long, conv_id: string, "
+        "turn_no: int, role: string, text: string, tool: string, "
+        "ts: timestamp")
+    t.merge_changes(post, ["conv_id", "turn_no"], batch_id="b2")
+    got = [(r.conv_id, r.turn_no, r.text) for r in t.read().collect()]
+    assert got == [("a", 0, "v2")]
