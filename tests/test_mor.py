@@ -178,3 +178,19 @@ def test_mor_rename_key_column_keeps_resolution(spark, tmpdir_path):
     t.merge_changes(post, ["conv_id", "turn_no"], batch_id="b2")
     got = [(r.conv_id, r.turn_no, r.text) for r in t.read().collect()]
     assert got == [("a", 0, "v2")]
+
+
+def test_mor_vacuum_drops_old_tombstones(spark, tmpdir_path):
+    t = _mor(spark, os.path.join(tmpdir_path, "t"))
+    t.merge_changes(_changes(spark, [("c", 1, 0, "a", 0, "v1"),
+                                     ("c", 1, 1, "b", 0, "keep")]),
+                    PK, batch_id="b1")
+    t.merge_changes(_changes(spark, [("d", 2, 0, "a", 0, "v1")]),
+                    PK, batch_id="b2")
+    raw = t.read(raw=True).collect()
+    assert any(r["__deleted"] for r in raw)
+    t.vacuum_tombstones(before_lsn=10)      # checkpoint passed lsn 2
+    raw2 = t.read(raw=True).collect()
+    assert not any(r["__deleted"] for r in raw2)
+    assert [(r.conv_id, r.text) for r in t.read().collect()] == [
+        ("b", "keep")]
