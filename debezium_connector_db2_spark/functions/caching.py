@@ -87,7 +87,7 @@ def carry_pin(derived: DataFrame, source: DataFrame) -> DataFrame:
     fin = getattr(source, _PIN_ATTR, None)
     if fin is None or not fin.alive:
         return derived
-    func, args, kwargs = fin.detach()
+    _obj, func, args, kwargs = fin.detach()
     new_fin = weakref.finalize(derived, func, *args, **kwargs)
     try:
         delattr(source, _PIN_ATTR)

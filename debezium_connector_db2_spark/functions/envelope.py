@@ -72,17 +72,22 @@ def parse_message_key_columns(spec: str) -> list[tuple["re.Pattern", list[str]]]
 
 
 def key_columns_for(spec: str | None, qualified_table: str,
-                    default: list[str]) -> list[str]:
+                    default: list[str], *,
+                    match_bare_table: bool = False) -> list[str]:
     """Resolve the record-key columns for a table under an optional
     ``message.key.columns`` spec: the first entry whose regex fullmatches
-    the qualified table name (``schema.table``; a bare table name is
-    also tried) rewrites the key, otherwise the ``default`` (PK) stands.
+    the *fully-qualified* table name (``schema.table``) rewrites the key,
+    otherwise the ``default`` (PK) stands.  Matching the bare table name
+    is looser than Debezium's semantics (an ``orders:id`` entry meant for
+    one schema would rewrite every schema's ``orders``) and is off unless
+    ``match_bare_table=True`` is passed explicitly.
     """
     if not spec:
         return list(default)
     bare = qualified_table.rsplit(".", 1)[-1]
     for pat, cols in parse_message_key_columns(spec):
-        if pat.fullmatch(qualified_table) or pat.fullmatch(bare):
+        if pat.fullmatch(qualified_table) or (
+                match_bare_table and pat.fullmatch(bare)):
             return list(cols)
     return list(default)
 

@@ -420,14 +420,28 @@ class LakeTable:
                         f"{new_type.simpleString()}: not a widening")
                 delta["dtype"] = new_type.simpleString()
         if default is not LakeTable._ALTER_UNSET:
-            if isinstance(default, str):
-                from debezium_connector_db2_spark.functions.defaults import (
-                    parse_default_value,
-                )
+            raw = default if isinstance(default, str) else None
+            if raw is not None and raw == self._column_default_raw(name, m):
+                # Replayed DDL (crash before checkpoint re-applies the
+                # ALTER): the same *source text* was already applied —
+                # no-op, so CURRENT DATE/TIMESTAMP register defaults
+                # stay pinned at first application instead of drifting
+                # to a new clock value on every replay.
+                default = LakeTable._ALTER_UNSET
+            else:
+                if isinstance(default, str):
+                    from debezium_connector_db2_spark.functions.defaults import (
+                        parse_default_value,
+                    )
 
-                default = parse_default_value(
-                    dtype or fld.dataType.simpleString(), default)
-            delta["default"] = default
+                    default = parse_default_value(
+                        dtype or fld.dataType.simpleString(), default)
+                if default == self.column_default(name, m):
+                    default = LakeTable._ALTER_UNSET  # value unchanged
+                else:
+                    delta["default"] = default
+                    if raw is not None:
+                        delta["default_raw"] = raw
         if not delta:
             return  # no-op / replayed ALTER
         new_schema = T.StructType(
@@ -455,6 +469,18 @@ class LakeTable:
                 out = sv.added[name]
             if name in sv.altered and "default" in sv.altered[name]:
                 out = sv.altered[name]["default"]
+        return out
+
+    def _column_default_raw(self, name: str,
+                            manifest: dict | None = None) -> str | None:
+        """The *source text* of the column's latest default (when the
+        ALTER supplied one), used to detect replayed DDL exactly even
+        for CURRENT DATE/TIMESTAMP register defaults whose parsed value
+        is clock-dependent."""
+        out = None
+        for sv in self.schema_versions(manifest):
+            if name in sv.altered and "default" in sv.altered[name]:
+                out = sv.altered[name].get("default_raw")
         return out
 
     #: Recent-batch-id window carried in each manifest.  A replayed batch
@@ -688,6 +714,15 @@ class LakeTable:
         ch = self._with_bucket(changes, m)
 
         if m.get("merge_mode", "cow") == "mor":
+            if list(key_cols) != list(m["key_cols"]):
+                # read-side _resolve_latest collapses under the manifest
+                # identity; a delta written under different keys would
+                # silently produce per-key results the caller never asked
+                # for — fail loudly instead.
+                raise ValueError(
+                    f"merge_changes key_cols {list(key_cols)!r} != "
+                    f"manifest key_cols {m['key_cols']!r} for a "
+                    f"merge-on-read table")
             # Merge-on-read: append the (already per-key-deduped) change
             # rows as per-bucket delta files — ONE write job proportional
             # to the batch, no read of existing data, no rewrite, no

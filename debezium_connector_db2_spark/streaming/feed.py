@@ -243,9 +243,13 @@ class MultiFeedPublisher:
         The one-call form of the wiring shown in :meth:`hook_for`."""
         for name, eng in self.engines.items():
             eng.run_available(on_batch=self.hook_for(name))
-            # the engine just drained to the binlog's current max: even
-            # with zero events for this table, that frontier is consumed
-            self.heartbeat(name, eng.binlog.max_lsn() or 0)
+            # heartbeat to the engine's *post-drain checkpoint*, not a
+            # fresh binlog.max_lsn() read: the shared binlog may have
+            # grown between the engine's final idle check and now, and
+            # the watermark must never claim LSNs this table hasn't
+            # applied ("every table has applied" invariant of
+            # _watermark).
+            self.heartbeat(name, eng.checkpoint.read().commit_lsn or 0)
         return self.drain()
 
     def published_to(self) -> int:

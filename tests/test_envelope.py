@@ -306,3 +306,22 @@ def test_snapshot_last_record(spark, tmpdir_path):
              .orderBy("commit_lsn", "intent_seq").collect())
     assert [r.envelope.source.snapshot for r in recs2] == [
         "true", "true", "true", "false"]
+
+
+def test_key_columns_for_matches_qualified_name_only():
+    """message.key.columns regexes fullmatch the *fully-qualified*
+    identifier, mirroring Debezium core: an 'orders:id' entry meant for
+    one schema must not rewrite every schema's 'orders' table.  The
+    looser bare-table matching is opt-in."""
+    from debezium_connector_db2_spark.functions.envelope import key_columns_for
+
+    # bare-table spec does not match a qualified name by default
+    assert key_columns_for("orders:id", "sales.orders", ["pk"]) == ["pk"]
+    # explicit opt-in restores the loose behavior
+    assert key_columns_for("orders:id", "sales.orders", ["pk"],
+                           match_bare_table=True) == ["id"]
+    # qualified spec matches as before
+    assert key_columns_for(r"sales\.orders:id", "sales.orders",
+                           ["pk"]) == ["id"]
+    assert key_columns_for(r"sales\.orders:id", "hr.orders",
+                           ["pk"]) == ["pk"]

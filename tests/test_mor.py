@@ -194,3 +194,17 @@ def test_mor_vacuum_drops_old_tombstones(spark, tmpdir_path):
     assert not any(r["__deleted"] for r in raw2)
     assert [(r.conv_id, r.text) for r in t.read().collect()] == [
         ("b", "keep")]
+
+
+def test_mor_merge_rejects_mismatched_key_cols(spark, tmpdir_path):
+    """merge_changes on a merge-on-read table must be called with the
+    manifest's key identity: read-side _resolve_latest collapses under
+    manifest key_cols, so a delta written under different keys would
+    silently produce per-key results the caller never asked for."""
+    t = _mor(spark, os.path.join(tmpdir_path, "t"))
+    ch = _changes(spark, [("c", 10, 0, "a", 0, "x")])
+    with pytest.raises(ValueError, match="key_cols"):
+        t.merge_changes(ch, key_cols=["conv_id"], batch_id="b1")
+    # matching keys still work
+    assert t.merge_changes(ch, key_cols=PK, batch_id="b1")
+    assert t.read().count() == 1

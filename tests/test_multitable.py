@@ -264,3 +264,47 @@ def test_multi_feed_publisher_crash_recovery(spark, tmpdir_path):
     pub3 = MultiFeedPublisher(restarted, os.path.join(tmpdir_path, "feed"))
     assert pub3.run_all() == []
     assert len(pub3.segments()) == len(pub2.segments())
+
+
+def test_multi_feed_heartbeat_never_outruns_checkpoints(spark, tmpdir_path):
+    """Regression: run_all used to heartbeat each table to a *fresh*
+    binlog.max_lsn() read after its engine drained.  If the shared
+    binlog grows between the engine's final idle check and that read,
+    the watermark claims LSNs the tables never applied — published_to
+    outruns every checkpoint, and the late event is never published
+    (next drain starts past it).  run_all must heartbeat to the
+    engine's post-drain checkpoint instead."""
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(2, 0, "I", "tableb", "b", 0, "b0"),
+    ]
+    src, engines = _two_engines(spark, tmpdir_path, rows)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+
+    late = [_row(3, 0, "U", "tablea", "a", 0, "a0-late")]
+    for name, eng in engines.items():
+        orig = eng.run_available
+
+        def wrapped(orig=orig, *a, **kw):
+            out = orig(*a, **kw)
+            # the shared binlog grows right after this engine's final
+            # idle check — the exact race window
+            if src.max_lsn() < 3:
+                src.write(spark.createDataFrame(late, BINLOG_SCHEMA))
+            return out
+
+        eng.run_available = wrapped
+
+    pub.run_all()
+    frontier = min(e.checkpoint.read().commit_lsn for e in engines.values())
+    assert pub.published_to() <= frontier
+    # the late event is not lost: a subsequent drain applies + publishes it
+    for eng in engines.values():
+        eng.run_available = eng.__class__.run_available.__get__(eng)
+    pub.run_all()
+    assert pub.published_to() == 3
+    got = [r for r in pub.read().collect() if r.envelope is not None]
+    assert ("a0-late" in str(got[-1].envelope.after)
+            or any("a0-late" in str(r.envelope.after) for r in got))

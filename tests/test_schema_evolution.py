@@ -215,3 +215,40 @@ def test_alter_column_decimal_widening_rules(spark, tmpdir_path):
     assert target.schema()["n"].dataType == T.DecimalType(12, 2)
     with pytest.raises(ValueError, match="does not exist"):
         target.alter_column("ghost", "bigint")
+
+
+def test_alter_column_default_replay_idempotent(spark, tmpdir_path):
+    """A replayed default-change ALTER (crash before the checkpoint
+    records the DDL, then DDL re-applied on restart) must be a no-op:
+    no duplicate schema version, and a CURRENT DATE/TIMESTAMP register
+    default stays pinned at its first-application clock value instead
+    of drifting on every replay."""
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2,
+    )
+    target.add_column("score", "int", default=0)
+
+    target.alter_column("score", default="7")
+    v = target.current_version()
+    assert target.column_default("score") == 7
+    # identical raw text replayed -> no new version
+    target.alter_column("score", default="7")
+    assert target.current_version() == v
+    # identical parsed value via a different spelling -> still no-op
+    target.alter_column("score", default=7)
+    assert target.current_version() == v
+    # a genuinely different default is a real version bump
+    target.alter_column("score", default="9")
+    assert target.current_version() == v + 1
+    assert target.column_default("score") == 9
+
+    # register default: pinned at first application
+    target.add_column("opened", "date", default=None)
+    target.alter_column("opened", default="CURRENT DATE")
+    v2 = target.current_version()
+    first = target.column_default("opened")
+    assert first is not None
+    target.alter_column("opened", default="CURRENT DATE")  # replay
+    assert target.current_version() == v2
+    assert target.column_default("opened") == first
