@@ -310,6 +310,56 @@ def q_cdc_merge_final_state(spark, sf_dir):
     return untouched.unionByName(upserts)
 
 
+def q_cdc_merge_final_state_mor(spark, sf_dir):
+    """J5 on the merge-on-read lake path: the same final keyed state as
+    ``cdc_merge_final_state``, but produced by *actually replaying* the
+    change log into a ``merge_mode='mor'`` LakeTable in three LSN-ordered
+    batches — per-bucket delta-file appends, per-key
+    ``(__commit_lsn, __intent_seq)`` resolution on read
+    (``lake._resolve_latest``) — with ``compact()`` after the second
+    batch, so one green row certifies both the delta-resolution read and
+    the post-compaction read.  The reference's replay contract: final
+    table state after applying the stream equals the oracle
+    (``Db2ConnectorIT.java:549-714``)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from debezium_connector_db2_spark.lake import LakeTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
+    n = cust.count()
+    cap = _capture(spark, sf_dir).withColumn(
+        "key", F.pmod(F.col("key"), F.lit(n)) + 1)
+    max_lsn = cap.agg(F.max("commit_lsn")).collect()[0][0]
+
+    schema = T.StructType([T.StructField("key", T.LongType(), False),
+                           T.StructField("val", T.DoubleType(), True)])
+    d = tempfile.mkdtemp(prefix="cdc-mor-oracle-")
+    t = LakeTable.create(spark, os.path.join(d, "t"), schema,
+                         bucket_by="key", n_buckets=8, versioned=True,
+                         merge_mode="mor", key_cols=["key"])
+    t.overwrite(cust, batch_id="snapshot", position=(0, 0))
+
+    cut1, cut2 = max_lsn // 3, 2 * max_lsn // 3
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, max_lsn)]):
+        batch = cap.where((F.col("commit_lsn") > lo)
+                          & (F.col("commit_lsn") <= hi))
+        last = batch.groupBy("key").agg(
+            F.max_by(F.struct("op", "val", "commit_lsn", "intent_seq"),
+                     F.struct("commit_lsn", "intent_seq")).alias("w")
+        ).select("key", "w.op", F.round("w.val", 2).alias("val"),
+                 "w.commit_lsn", "w.intent_seq")
+        t.merge_changes(last, key_cols=["key"], op_col="op",
+                        delete_op="D", batch_id=f"b{i}")
+        if i == 1:
+            t.compact()
+    return t.read().select("key", F.round("val", 2).alias("val"))
+
+
 def q_cdc_snapshot_chunk(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.where(F.col("o_orderkey").between(100, 349)) \
@@ -726,6 +776,33 @@ def q_dedup_conversations(spark, sf_dir):
 NGRAM_MAX_SHINGLE_DF = 30
 
 
+def q_dedup_conversations_near(spark, sf_dir):
+    """Conversation-level *near*-dup (``conversation_near_dup``): minhash
+    LSH over ordered turn-transition shingles + exact transition-Jaccard
+    verify — transcripts sharing a run of turns pair, the same turns
+    reordered never do.  The corpus is the ``dedup_conversations``
+    10-turn grouping PLUS a half-stride-shifted grouping (conv k' covers
+    docs 10k+5..10k+14), so each shifted conversation genuinely shares 4
+    of 9 turn transitions with its two base neighbours (Jaccard 0.2857
+    ≥ the 0.2 threshold) — a non-degenerate fuzzy-pair population at
+    every sf."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("int").alias("turn"),
+        "text",
+    )
+    shifted = docs.where(F.col("doc_id") >= 5).select(
+        (F.lit(1000000) + (F.col("doc_id") - 5) / 10).cast("long")
+        .alias("conv"),
+        F.pmod(F.col("doc_id") - 5, F.lit(10)).cast("int").alias("turn"),
+        "text",
+    )
+    return DD.conversation_near_dup(base.unionByName(shifted),
+                                    "conv", "turn", "text",
+                                    n_hashes=8, bands=4, threshold=0.2)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.2,
@@ -840,10 +917,20 @@ def q_media_frame_plan(spark, sf_dir):
         "frame_ts_ms", F.col("frame_ts_ms").cast("long"))
 
 
+#: The driver's correctness gate records at most 50 queries per round
+#: (round 4 registered 54 and the last 4 — the media_* family — were
+#: silently dropped from CORRECTNESS_r04.json).  queries() therefore
+#: returns EXACTLY 50 entries, one per §2 family headline; the remainder
+#: live in extra_queries() and are hash-checked against their DuckDB
+#: oracles by tests/test_oracle_parity.py with the same compare the
+#: driver uses (scripts/check_contract.py) — no operator loses its
+#: oracle, only its seat in the driver's 50-row file.
+DRIVER_QUERY_CAP = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         "cdc_last_writer_wins": q_cdc_last_writer_wins,
-        "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
         "cdc_opcode_classify": q_cdc_opcode_classify,
         "cdc_update_pairing": q_cdc_update_pairing,
         "cdc_table_filter": q_cdc_table_filter,
@@ -857,31 +944,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_registry_join": q_cdc_registry_join,
         "cdc_stop_lsn_filter": q_cdc_stop_lsn_filter,
         "cdc_merge_final_state": q_cdc_merge_final_state,
+        "cdc_merge_final_state_mor": q_cdc_merge_final_state_mor,
         "cdc_snapshot_chunk": q_cdc_snapshot_chunk,
         "cdc_schema_evolution_union": q_cdc_schema_evolution_union,
         "cdc_tombstones": q_cdc_tombstones,
         "cdc_masking": q_cdc_masking,
         "cdc_replay_events": q_cdc_replay_events,
-        "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
         "cdc_reselect": q_cdc_reselect,
         "cdc_event_feed_tombstones": q_cdc_event_feed_tombstones,
         "cdc_envelope": q_cdc_envelope,
         "cdc_key_rewrite": q_cdc_key_rewrite,
         "cdc_tx_feed": q_cdc_tx_feed,
         "cdc_signal_snapshot": q_cdc_signal_snapshot,
-        "cdc_nulls_last_order": q_cdc_nulls_last_order,
         "cdc_decimal_modes": q_cdc_decimal_modes,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
         "dedup_conversations": q_dedup_conversations,
+        "dedup_conversations_near": q_dedup_conversations_near,
         "text_scrub_pii": q_text_scrub_pii,
         "text_repetition": q_text_repetition,
         "text_vocab_topk": q_text_vocab_topk,
         "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
@@ -890,12 +975,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sessionize": q_text_sessionize,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "media_frame_plan": q_media_frame_plan,
         "media_resize_plan": q_media_resize_plan,
         "media_features": q_media_features,
+    }
+    assert len(out) == DRIVER_QUERY_CAP, len(out)
+    return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked queries beyond the driver's 50-row gate: variants
+    of families already graded through queries() (salted LWW strategy,
+    trivial orderings, codec round-trips, an extra TPC-H join, the LSH
+    ANN variant, lang-id).  tests/test_oracle_parity.py runs these under
+    the exact driver compare."""
+    return {
+        "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
+        "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
+        "cdc_nulls_last_order": q_cdc_nulls_last_order,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "text_langid": q_text_langid,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -963,10 +1065,23 @@ def _simhash_sql(n_bits: int = 60, max_hamming: int = 3,
     """
 
 
-def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2,
+                 sh_ctes: str | None = None,
+                 out_a: str = "doc_a", out_b: str = "doc_b") -> str:
+    """Banded-minhash-LSH SQL twin of ``minhash_lsh_pairs_over``.
+
+    ``sh_ctes`` overrides the shingle source: the full leading CTE text
+    ending in a CTE named ``sh(doc_id, shingle)`` (default: distinct
+    2-word shingles over ``documents``).  ``out_a``/``out_b`` rename the
+    pair-id output columns (``conv_a``/``conv_b`` for the
+    conversation-level variant).
+    """
     from debezium_connector_db2_spark.functions.hashing import seeded_sql
 
     sh2 = TX.word_shingles_sql("text", 2)
+    if sh_ctes is None:
+        sh_ctes = f"""sh AS (
+          SELECT doc_id, unnest({sh2}) AS shingle FROM documents)"""
     r = n_hashes // bands
     mins = ", ".join(
         f"min({seeded_sql('shingle', i)}) AS mh{i}" for i in range(n_hashes)
@@ -982,8 +1097,7 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2) -> s
     bands_sql = "\n              UNION ALL ".join(band_selects)
     jac = "round(inter * 1.0 / (sa.sz + sb.sz - inter), 6)"
     return f"""
-        WITH sh AS (
-          SELECT doc_id, unnest({sh2}) AS shingle FROM documents),
+        WITH {sh_ctes},
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
         bnd AS ({bands_sql}),
         cand AS (
@@ -997,7 +1111,7 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2) -> s
           JOIN sh a ON a.doc_id = doc_a
           JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
           GROUP BY doc_a, doc_b)
-        SELECT doc_a, doc_b, {jac} AS jaccard
+        SELECT doc_a AS {out_a}, doc_b AS {out_b}, {jac} AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
@@ -1156,8 +1270,50 @@ def _embedding_dedup_sql(dim: int = 64, threshold: float = 0.4,
     """
 
 
+# Final-state-after-replay oracle, shared by the copy-on-write
+# (cdc_merge_final_state) and merge-on-read (cdc_merge_final_state_mor)
+# rows: both lake modes must converge to the same keyed state.
+_MERGE_FINAL_SQL = f"""
+    WITH cust AS (
+      SELECT c_custkey AS key, round(c_acctbal, 2) AS val0 FROM customer),
+    n AS (SELECT count(*) AS n FROM customer),
+    cap AS (
+      SELECT (key % (SELECT n FROM n)) + 1 AS key, op, val, event_id
+      FROM ({_CAPTURE_SQL})),
+    last AS (
+      -- (commit_lsn, intent_seq) order == event_id order here
+      SELECT key,
+             max_by(op, event_id) AS op,
+             max_by(val, event_id) AS val
+      FROM cap GROUP BY key)
+    SELECT key, val0 AS val FROM cust
+    WHERE key NOT IN (SELECT key FROM last)
+    UNION ALL
+    SELECT key, round(val, 2) AS val FROM last WHERE op != 'D'
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fpq = TX.fingerprint_sql("text")
+    # ordered turn-transition shingles for the conversation-level
+    # near-dup (single-turn conversations keep their lone fingerprint);
+    # DISTINCT matches word_shingles' per-doc set semantics
+    conv_sh_ctes = f"""turns AS (
+          SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,
+                 {fpq} AS fp
+          FROM documents
+          UNION ALL
+          SELECT 1000000 + (doc_id - 5) // 10, (doc_id - 5) % 10, {fpq}
+          FROM documents WHERE doc_id >= 5),
+        counts AS (SELECT conv_id, count(*) AS n FROM turns GROUP BY conv_id),
+        sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT a.conv_id AS doc_id, a.fp || '|' || b.fp AS shingle
+            FROM turns a JOIN turns b
+              ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+            UNION ALL
+            SELECT t.conv_id, t.fp
+            FROM turns t JOIN counts c ON t.conv_id = c.conv_id AND c.n = 1))"""
     sh2 = TX.word_shingles_sql("text", 2)
     # shared by dedup_ngram_jaccard and dedup_cluster_keepers (the
     # cluster oracle must see the exact same pair set)
@@ -1267,24 +1423,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_CAPTURE_SQL}) c LEFT JOIN reg USING (event_type)
             WHERE reg.stop_lsn IS NULL OR c.commit_lsn < reg.stop_lsn
         """,
-        "cdc_merge_final_state": f"""
-            WITH cust AS (
-              SELECT c_custkey AS key, round(c_acctbal, 2) AS val0 FROM customer),
-            n AS (SELECT count(*) AS n FROM customer),
-            cap AS (
-              SELECT (key % (SELECT n FROM n)) + 1 AS key, op, val, event_id
-              FROM ({_CAPTURE_SQL})),
-            last AS (
-              -- (commit_lsn, intent_seq) order == event_id order here
-              SELECT key,
-                     max_by(op, event_id) AS op,
-                     max_by(val, event_id) AS val
-              FROM cap GROUP BY key)
-            SELECT key, val0 AS val FROM cust
-            WHERE key NOT IN (SELECT key FROM last)
-            UNION ALL
-            SELECT key, round(val, 2) AS val FROM last WHERE op != 'D'
-        """,
+        "cdc_merge_final_state": _MERGE_FINAL_SQL,
+        # Same replay contract, exercised through the actual
+        # merge-on-read lake path (delta appends + _resolve_latest +
+        # compact) on the Spark side — the oracle is the same final
+        # state the CoW row is held to.
+        "cdc_merge_final_state_mor": _MERGE_FINAL_SQL,
         "cdc_snapshot_chunk": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
             FROM orders WHERE o_orderkey BETWEEN 100 AND 349
@@ -1543,6 +1687,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_convs
             FROM conv GROUP BY conv_fp
         """,
+        "dedup_conversations_near": _minhash_sql(
+            8, 4, 0.2, sh_ctes=conv_sh_ctes,
+            out_a="conv_a", out_b="conv_b"),
         "dedup_ngram_jaccard": ngram_pairs_sql,
         "dedup_cluster_keepers": f"""
             WITH RECURSIVE pairs AS ({ngram_pairs_sql}),

@@ -37,6 +37,7 @@ HEADLINE = [
     "cdc_last_writer_wins",
     "cdc_opcode_classify",
     "cdc_merge_final_state",
+    "cdc_merge_final_state_mor",
     "q1_pricing_summary",
     "q3_top_revenue",
     "dedup_exact",
@@ -45,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_conversations",
+    "dedup_conversations_near",
     "text_stats",
     "text_scrub_pii",
     "text_vocab_topk",
@@ -202,6 +204,80 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
     return cold, warm, floor
 
 
+#: dedup/ANN queries re-timed on a corpus scaled by this multiple — the
+#: second data point that pins their scaling *curve*, not just the sf0.1
+#: floor (the CDC metric already has 1x/4x/64x points).
+DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "8"))
+SCALED_QUERIES = ["dedup_minhash_lsh", "dedup_cluster_keepers",
+                  "dedup_conversations_near", "ann_ivf_topk"]
+N_WARM_SCALED = max(1, int(os.environ.get("SPARK_GRAFT_SCALED_PASSES", "2")))
+
+
+def _build_scaled_corpus(spark: SparkSession, sf_dir: str, work_dir: str,
+                         mult: int) -> tuple[str, int, int]:
+    """Materialize a documents/embeddings corpus ``mult``× the sf dir's,
+    shaped like a real larger crawl: each copy's doc ids are offset past
+    the previous copy and its text carries a per-copy marker token, so
+    copies are *near*-dups of each other (not byte-identical) and the
+    near-dup cluster structure grows with the corpus the way a larger
+    crawl's would."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(work_dir, "scaled")
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_vecs = emb.count()
+    doc_parts = [docs] + [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        .withColumn("text", F.concat(F.col("text"), F.lit(f" copymark{i}")))
+        for i in range(1, mult)
+    ]
+    emb_parts = [emb] + [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vecs))
+        for i in range(1, mult)
+    ]
+    d0 = doc_parts[0]
+    for p in doc_parts[1:]:
+        d0 = d0.unionByName(p)
+    e0 = emb_parts[0]
+    for p in emb_parts[1:]:
+        e0 = e0.unionByName(p)
+    d0.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e0.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out, n_docs * mult, n_vecs * mult
+
+
+def bench_scaled_queries(spark: SparkSession, sf_dir: str,
+                         work_dir: str) -> dict:
+    """Time SCALED_QUERIES on the mult× corpus (same cold + warm-floor
+    protocol as bench_queries) so each round records the dedup/ANN
+    scaling curve: floor(sf0.1) vs floor(mult × sf0.1)."""
+    import __spark_entry__ as entrymod
+
+    scaled_dir, n_docs, n_vecs = _build_scaled_corpus(
+        spark, sf_dir, work_dir, DOC_SCALE_MULT)
+    qs = entrymod.queries()
+    passes = [{} for _ in range(1 + N_WARM_SCALED)]
+    for out in passes:
+        for name in SCALED_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, scaled_dir)
+            df.count()
+            out[name] = round(time.time() - t0, 3)
+            del df
+            spark.catalog.clearCache()
+    cold, warms = passes[0], passes[1:]
+    return {
+        "mult": DOC_SCALE_MULT,
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "cold": cold,
+        "floor": {n: min(w[n] for w in warms) for n in SCALED_QUERIES},
+    }
+
+
 def main():
     sf = _sf_of(SF_DIR)
     n_ops = max(int(OPS_PER_SF * sf), 10_000)
@@ -221,6 +297,7 @@ def main():
                 cdc = point         # 1x = the round-comparable headline
             shutil.rmtree(d, ignore_errors=True)
         queries, queries_warm, queries_floor = bench_queries(spark, SF_DIR)
+        queries_scaled = bench_scaled_queries(spark, SF_DIR, work)
         result = {
             "metric": "end-to-end change-events/sec applied (snapshot + "
                       "micro-batched replay to final lake-table state)",
@@ -229,6 +306,7 @@ def main():
             "queries": queries,
             "queries_warm": queries_warm,
             "queries_floor": queries_floor,
+            "queries_scaled": queries_scaled,
             "query_passes": {"cold": 1, "warm": N_WARM},
             "sf": sf,
             "cpus": CPUS,

@@ -96,34 +96,48 @@ def source_type_parameters(
     column_types: dict[str, tuple],
     propagate: str | None,
     qualified_table: str,
+    column_propagate: str | None = None,
 ) -> dict[str, dict[str, str]]:
     """Per-column ``__debezium.source.column.*`` parameter maps for the
-    columns whose *source data type* matches one of the
-    ``datatype.propagate.source.type`` regexes
-    (``Db2ConnectorIT.java:822-871``, DBZ-1916/DBZ-1830).
+    columns selected by either propagation config
+    (``Db2ConnectorIT.java:822-871``, DBZ-1916/DBZ-1830):
 
-    ``column_types`` is the capture catalog's knowledge of the source
-    schema — ``{column: (TYPE_NAME, length, scale)}`` with length/scale
-    optional (the reference reads this from JDBC metadata; here the
-    registry/config supplies it).  ``propagate`` is the comma-separated
-    regex list; each is fullmatched (case-insensitively) against the
-    fully-qualified type name ``schema.table.TYPE``, ``table.TYPE`` and
-    the bare ``TYPE``.  Columns that don't match carry no parameters —
-    the reference asserts exactly that for its ID/C1/C2 columns.
+    * ``propagate`` — ``datatype.propagate.source.type``: regexes
+      fullmatched (case-insensitively) against the column's *source data
+      type* as ``schema.table.TYPE``, ``table.TYPE`` and bare ``TYPE``;
+    * ``column_propagate`` — ``column.propagate.source.type``
+      (RelationalDatabaseConnectorConfig's per-column variant): regexes
+      fullmatched against the *qualified column name*
+      ``schema.table.column`` and ``table.column``.
+
+    A column matched by either carries the same parameter keys (first
+    match wins — matching twice adds nothing).  ``column_types`` is the
+    capture catalog's knowledge of the source schema — ``{column:
+    (TYPE_NAME, length, scale)}`` with length/scale optional (the
+    reference reads this from JDBC metadata; here the registry/config
+    supplies it).  Columns matched by neither carry no parameters — the
+    reference asserts exactly that for its ID/C1/C2 columns.
     """
     import re
 
-    if not propagate or not column_types:
+    if (not propagate and not column_propagate) or not column_types:
         return {}
-    pats = [re.compile(p.strip(), re.IGNORECASE)
-            for p in propagate.split(",") if p.strip()]
+    type_pats = [re.compile(p.strip(), re.IGNORECASE)
+                 for p in (propagate or "").split(",") if p.strip()]
+    col_pats = [re.compile(p.strip(), re.IGNORECASE)
+                for p in (column_propagate or "").split(",") if p.strip()]
     bare_table = qualified_table.rsplit(".", 1)[-1]
     out: dict[str, dict[str, str]] = {}
     for col, spec in column_types.items():
         type_name, length, scale = (tuple(spec) + (None, None))[:3]
-        candidates = [f"{qualified_table}.{type_name}",
+        type_cands = [f"{qualified_table}.{type_name}",
                       f"{bare_table}.{type_name}", str(type_name)]
-        if not any(p.fullmatch(c) for p in pats for c in candidates):
+        col_cands = [f"{qualified_table}.{col}", f"{bare_table}.{col}"]
+        matched = (
+            any(p.fullmatch(c) for p in type_pats for c in type_cands)
+            or any(p.fullmatch(c) for p in col_pats for c in col_cands)
+        )
+        if not matched:
             continue
         params = {TYPE_NAME_PARAMETER_KEY: str(type_name)}
         if length is not None:

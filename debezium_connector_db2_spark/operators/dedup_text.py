@@ -87,6 +87,76 @@ def conversation_dedup(
     )
 
 
+def conversation_turn_shingles(
+    df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+) -> DataFrame:
+    """Order-sensitive conversation shingles: one row per *turn
+    transition* — ``fp(turn_i) | fp(turn_i+1)`` over the turn-ordered
+    per-turn fingerprints (a single-turn conversation contributes its
+    lone fingerprint).  Two conversations that say the same things in
+    the same order share all transitions; the same turns *reordered*
+    share almost none, so downstream Jaccard treats reorderings as
+    different conversations — the same order sensitivity as
+    :func:`conversation_fingerprint`, relaxed from exact to fuzzy.
+
+    Shape: one map-side per-turn fingerprint, one groupBy(conv) with
+    per-group state bounded by conversation length, then a zip_with of
+    two slices (O(n_turns) per conv, no self-join).  Returns
+    (doc_id=conv, shingle) ready for :func:`minhash_lsh_pairs_over`.
+    """
+    turn_fp = F.struct(
+        F.col(turn_col).alias("t"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    fps = (
+        df.select(F.col(conv_col).alias("doc_id"), turn_fp.alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.transform(F.sort_array(F.collect_list("tf")),
+                         lambda x: x["fp"]).alias("fps"))
+    )
+    n = F.size("fps")
+    transitions = F.zip_with(
+        F.slice(F.col("fps"), 1, n - 1),
+        F.slice(F.col("fps"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("|"), b),
+    )
+    # distinct per conversation, matching word_shingles' set semantics
+    # (Jaccard downstream is over shingle *sets*)
+    return fps.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.when(n == 1, F.col("fps")).otherwise(transitions)))
+        .alias("shingle"),
+    )
+
+
+def conversation_near_dup(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Conversation-level *near*-dup: minhash-LSH over the ordered
+    turn-transition shingles, exact turn-transition-Jaccard verify —
+    :func:`conversation_dedup`'s contract relaxed to fuzzy matching
+    (transcripts that differ in a turn or two still pair; reordered
+    turns do not).  Returns (conv_a, conv_b, jaccard), conv_a < conv_b.
+    Composition of :func:`conversation_turn_shingles` and
+    :func:`minhash_lsh_pairs_over`; scale shape is identical to
+    :func:`minhash_lsh_pairs` (banded equi-join candidates, no O(n²)).
+    """
+    sh = conversation_turn_shingles(df, conv_col, turn_col, text_col)
+    return (
+        minhash_lsh_pairs_over(sh, n_hashes=n_hashes, bands=bands,
+                               threshold=threshold)
+        .withColumnRenamed("doc_a", "conv_a")
+        .withColumnRenamed("doc_b", "conv_b")
+    )
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -176,6 +246,22 @@ def minhash_lsh_pairs(
     Candidates are then *exactly* verified, so output precision is 1.0 and
     only recall depends on the LSH parameters.
     """
+    sh = _shingled(df, id_col, text_col, k_shingle)
+    return minhash_lsh_pairs_over(sh, n_hashes=n_hashes, bands=bands,
+                                  threshold=threshold)
+
+
+def minhash_lsh_pairs_over(
+    sh: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The banded-LSH + exact-verify core over any pre-shingled
+    ``(doc_id, shingle)`` frame — the unit :func:`minhash_lsh_pairs`
+    (word shingles) and :func:`conversation_near_dup` (turn-transition
+    shingles) share.  Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
     assert n_hashes % bands == 0
     r = n_hashes // bands
     # One shingle pass feeds the signatures AND the exact-verify stage;
@@ -183,7 +269,6 @@ def minhash_lsh_pairs(
     # candidate self-join (the agg would recompute 2*bands times
     # otherwise).  Both are pinned for the result's lifetime only
     # (pin_for_result) — released when the caller drops the result.
-    sh = _shingled(df, id_col, text_col, k_shingle)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}")
           for i in range(n_hashes)]

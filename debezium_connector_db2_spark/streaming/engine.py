@@ -91,6 +91,8 @@ class CdcEngine:
         message_key_columns: str | None = None,
         source_column_types: dict | None = None,
         datatype_propagate_source_type: str | None = None,
+        column_propagate_source_type: str | None = None,
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -166,6 +168,17 @@ class CdcEngine:
         #: (``Db2ConnectorIT.java:822-871``)
         self.source_column_types = source_column_types
         self.datatype_propagate_source_type = datatype_propagate_source_type
+        self.column_propagate_source_type = column_propagate_source_type
+        #: When set, run_available compacts any bucket that accumulated
+        #: more than this many files after each applied batch — the
+        #: background-maintenance policy a merge-on-read table needs
+        #: (every MERGE appends one delta file per touched bucket; the
+        #: read-side resolve degrades linearly in files per bucket).
+        #: Under the threshold the check is one manifest read, so the
+        #: amortized cost is one bucket rewrite per `auto_compact_files`
+        #: batches — the reference's prune cycle analogue
+        #: (asncdc.c prune command).
+        self.auto_compact_files = auto_compact_files
 
     # -- snapshot phase (S1, §3.2) ------------------------------------------
 
@@ -945,6 +958,7 @@ class CdcEngine:
                 self.source_column_types,
                 self.datatype_propagate_source_type,
                 f"{schema_name}.{self.table}",
+                column_propagate=self.column_propagate_source_type,
             ) or None,
         )
 
@@ -1070,6 +1084,13 @@ class CdcEngine:
             m = self.apply_batch(off, hi, on_batch=on_batch)
             prev_empty = m.events == 0
             out.append(m)
+            if self.auto_compact_files is not None and m.events > 0:
+                # auto-compaction between micro-batches: no-op (one
+                # manifest read) until some bucket crosses the file
+                # threshold; its own commit, so a crash mid-compaction
+                # loses nothing and replays nothing
+                self.target.compact(
+                    max_files_per_bucket=self.auto_compact_files)
         return out
 
 

@@ -303,3 +303,44 @@ def test_conversation_dedup_order_sensitive(spark):
            for r in DD.conversation_dedup(df, "conv", "turn", "text")
            .collect()}
     assert sorted(out.values()) == [(1, 2), (3, 1), (4, 1)]
+
+
+def test_conversation_near_dup_fuzzy_and_order_sensitive(spark):
+    """conversation_near_dup pairs transcripts that differ in a turn or
+    two (fuzzy, unlike conversation_dedup's exact fingerprint) but NOT
+    the same turns reordered: the minhash runs over ordered
+    turn-transition shingles, so a reversal shares no transitions."""
+    turns = [f"turn text number {i} hello world" for i in range(5)]
+    rows = []
+    for c, tlist in [
+        (1, turns),                                     # original
+        (2, turns),                                     # exact dup
+        (3, turns[:4] + ["edited last turn entirely"]), # near dup
+        (4, list(reversed(turns))),                     # reordered -> negative
+        (5, [f"unrelated {i}" for i in range(5)]),      # negative
+    ]:
+        rows += [(c, i, t) for i, t in enumerate(tlist)]
+    df = spark.createDataFrame(rows, "conv: long, turn: int, text: string")
+    got = {(r.conv_a, r.conv_b): r.jaccard
+           for r in DD.conversation_near_dup(df, "conv", "turn", "text",
+                                             threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == got[(2, 3)] == 0.6   # 3 of 4 transitions shared
+    assert not any(4 in k or 5 in k for k in got)
+
+
+def test_conversation_near_dup_single_turn_and_shuffled_rows(spark):
+    """Single-turn conversations keep their lone fingerprint as the
+    shingle (they would otherwise vanish from the index); row arrival
+    order never matters (sort_array orders turns, not input)."""
+    rows = [
+        (1, 1, "b side"), (1, 0, "a side"),     # shuffled arrival
+        (2, 0, "a side"), (2, 1, "b side"),
+        (6, 0, "solo turn"), (7, 0, "solo turn"),
+        (8, 0, "different solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv: long, turn: int, text: string")
+    got = {(r.conv_a, r.conv_b): r.jaccard
+           for r in DD.conversation_near_dup(df, "conv", "turn", "text",
+                                             threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0, (6, 7): 1.0}

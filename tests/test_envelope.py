@@ -325,3 +325,48 @@ def test_key_columns_for_matches_qualified_name_only():
                            ["pk"]) == ["id"]
     assert key_columns_for(r"sales\.orders:id", "hr.orders",
                            ["pk"]) == ["pk"]
+
+
+def test_column_propagate_source_type():
+    """column.propagate.source.type — the per-column-regex variant from
+    RelationalDatabaseConnectorConfig (alongside K2's datatype-regex
+    form): regexes fullmatch the qualified column name
+    (schema.table.column / table.column), matched columns carry the same
+    __debezium.source.column.* parameter keys, and a column matched by
+    both configs carries them once."""
+    from debezium_connector_db2_spark.functions.envelope import (
+        TYPE_LENGTH_PARAMETER_KEY,
+        TYPE_NAME_PARAMETER_KEY,
+        TYPE_SCALE_PARAMETER_KEY,
+        source_type_parameters,
+    )
+
+    column_types = {
+        "id": ("INTEGER", None, None),
+        "c3a": ("DECIMAL", 5, 2),
+        "c3b": ("VARCHAR", 128, None),
+    }
+    # column-regex only
+    params = source_type_parameters(
+        column_types, None, "cdc.dt_table",
+        column_propagate=r".+\.dt_table\.c3a")
+    assert set(params) == {"c3a"}
+    assert params["c3a"] == {TYPE_NAME_PARAMETER_KEY: "DECIMAL",
+                             TYPE_LENGTH_PARAMETER_KEY: "5",
+                             TYPE_SCALE_PARAMETER_KEY: "2"}
+    # table-qualified (no schema) form also matches
+    params = source_type_parameters(
+        column_types, None, "cdc.dt_table",
+        column_propagate=r"dt_table\.c3b")
+    assert set(params) == {"c3b"}
+    assert params["c3b"] == {TYPE_NAME_PARAMETER_KEY: "VARCHAR",
+                             TYPE_LENGTH_PARAMETER_KEY: "128"}
+    # both configs matching the same column -> parameters appear once
+    params = source_type_parameters(
+        column_types, r".+\.DECIMAL", "cdc.dt_table",
+        column_propagate=r".+\.c3a")
+    assert set(params) == {"c3a"}
+    # a column regex must match the full qualified name, not a substring
+    params = source_type_parameters(
+        column_types, None, "cdc.dt_table", column_propagate=r"c3a")
+    assert params == {}

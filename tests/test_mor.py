@@ -208,3 +208,51 @@ def test_mor_merge_rejects_mismatched_key_cols(spark, tmpdir_path):
     # matching keys still work
     assert t.merge_changes(ch, key_cols=PK, batch_id="b1")
     assert t.read().count() == 1
+
+
+def test_mor_auto_compaction_bounds_delta_files_across_soak(spark, tmpdir_path):
+    """50-batch soak on a merge-on-read target with auto-compaction
+    wired into run_available (auto_compact_files): every MERGE appends
+    one delta file per touched bucket, so without maintenance the
+    read-side resolve degrades linearly — the engine must keep the
+    per-bucket file count bounded by the threshold across the whole run
+    while converging to the closed-form oracle state."""
+    from debezium_connector_db2_spark.sources.generator import (
+        generate_binlog,
+        generate_snapshot,
+        oracle_final_state,
+    )
+
+    snap = generate_snapshot(spark, n_convs=40, turns_per_conv=6, seed=31)
+    log = generate_binlog(spark, n_ops=1500, n_convs=40, turns_per_conv=6,
+                          seed=31)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"),
+                       bucket_size=8)
+    src.write(log)
+    n_lsns = src.max_lsn()
+    t = _mor(spark, os.path.join(tmpdir_path, "t"), n_buckets=2)
+    t.overwrite(snap, batch_id="snapshot", position=(0, 0))
+
+    threshold = 4
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=max(n_lsns // 50, 1),
+                    auto_compact_files=threshold)
+    max_files_seen = []
+
+    def watch(_m):
+        m = t.manifest()
+        max_files_seen.append(max(len(e) for e in m["files"].values()))
+
+    batches = eng.run_available(on_batch=watch)
+    assert len(batches) >= 40, "soak must actually run ~50 micro-batches"
+    # on_batch fires pre-compaction, so the observable bound is
+    # threshold + 1 (the batch's own delta, folded right after)
+    assert max(max_files_seen) <= threshold + 1
+    m = t.manifest()
+    assert max(len(e) for e in m["files"].values()) <= threshold
+
+    want = oracle_final_state(snap, log)
+    got = t.read()
+    c = sorted(got.columns)
+    assert (got.select(c).exceptAll(want.select(c)).count()
+            + want.select(c).exceptAll(got.select(c)).count()) == 0

@@ -1,0 +1,66 @@
+"""The driver's correctness gate records at most 50 queries per round, so
+queries() is capped at exactly 50 and the remaining oracle-checked
+operators live in extra_queries().  This test holds that overflow to the
+SAME spark-vs-DuckDB compare the driver uses (scripts/check_contract.py
+replicates it) — no operator loses hash-grade verification by losing its
+seat in the 50-row file.
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"no testdata at {SF_DIR}")
+
+
+def _entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_queries_is_exactly_at_driver_cap():
+    e = _entry()
+    qs = e.queries()
+    assert len(qs) == e.DRIVER_QUERY_CAP == 50
+    # the media family must hold its seats (dropped silently in round 4)
+    for name in ("media_decode", "media_resize_plan", "media_features",
+                 "media_frame_plan"):
+        assert name in qs
+    # no overlap between the gate and the overflow
+    assert not set(qs) & set(e.extra_queries())
+
+
+def test_every_query_has_an_oracle():
+    e = _entry()
+    oracles = e.oracle_sql()
+    for name in list(e.queries()) + list(e.extra_queries()):
+        assert name in oracles, f"{name} has no oracle_sql entry"
+
+
+@pytest.mark.parametrize("name", [
+    "cdc_last_writer_wins_salted",
+    "cdc_lsn_hex_roundtrip",
+    "cdc_nulls_last_order",
+    "q5_local_supplier_volume",
+    "text_langid",
+    "ann_lsh_topk",
+])
+def test_overflow_query_matches_oracle(spark, name):
+    from scripts.check_contract import check_one, duck_connection
+
+    e = _entry()
+    extras = e.extra_queries()
+    assert sorted(extras) == sorted([
+        "cdc_last_writer_wins_salted", "cdc_lsn_hex_roundtrip",
+        "cdc_nulls_last_order", "q5_local_supplier_volume",
+        "text_langid", "ann_lsh_topk"]), "keep this parametrize in sync"
+    con = duck_connection(SF_DIR)
+    ok, detail = check_one(spark, con, name, extras[name],
+                           e.oracle_sql()[name], SF_DIR)
+    assert ok, f"{name}: {detail}"
+    assert "WARN" not in detail, f"{name}: {detail}"
