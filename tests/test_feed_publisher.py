@@ -195,3 +195,55 @@ def test_feed_read_from_lsn_prunes_segments(spark, tmpdir_path):
     import pytest
     with pytest.raises(ValueError, match="no published segments"):
         pub.read(from_lsn=999)
+
+
+def test_feed_consumer_offsets_crash_between_poll_and_commit(spark, tmpdir_path):
+    """FeedConsumer round-trip: poll -> process -> commit moves the
+    group's frontier atomically; a crash between poll and commit (no
+    commit written) re-delivers the SAME interval to the next consumer
+    instance — at-least-once delivery over which (commit_lsn,
+    intent_seq)-idempotent processors compose to exactly-once."""
+    rows = [
+        _row(1, 0, "I", "a", 0, "x"),
+        _row(2, 0, "U", "a", 0, "x2"),
+        _row(3, 0, "I", "b", 0, "y"),
+        _row(4, 0, "U", "b", 0, "y2"),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=2)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=2)
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+    eng.run_available(on_batch=pub.publish)
+    odir = os.path.join(tmpdir_path, "offsets")
+
+    c = pub.consumer(odir, group="indexer")
+    assert c.committed() == 0
+    b1 = c.poll(max_lsns=2)
+    assert (b1.from_lsn, b1.to_lsn) == (0, 2)
+    assert sorted(r.commit_lsn for r in b1.df.collect()) == [1, 2]
+    # CRASH here: no commit.  A fresh consumer re-delivers the interval.
+    c2 = pub.consumer(odir, group="indexer")
+    b1r = c2.poll(max_lsns=2)
+    assert (b1r.from_lsn, b1r.to_lsn) == (0, 2)
+    c2.commit()
+    assert c2.committed() == 2
+
+    # next poll starts after the committed frontier
+    b2 = c2.poll()
+    assert (b2.from_lsn, b2.to_lsn) == (2, 4)
+    assert sorted(r.commit_lsn for r in b2.df.collect()) == [3, 4]
+    c2.commit()
+    assert c2.poll() is None      # caught up
+
+    # independent group has its own frontier
+    other = pub.consumer(odir, group="auditor")
+    assert other.committed() == 0
+    assert other.poll().to_lsn == 4
+
+    # the offset never moves backwards
+    import pytest
+    with pytest.raises(ValueError, match="backwards"):
+        c2.commit(1)

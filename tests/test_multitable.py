@@ -308,3 +308,28 @@ def test_multi_feed_heartbeat_never_outruns_checkpoints(spark, tmpdir_path):
     got = [r for r in pub.read().collect() if r.envelope is not None]
     assert ("a0-late" in str(got[-1].envelope.after)
             or any("a0-late" in str(r.envelope.after) for r in got))
+
+
+def test_multi_feed_consumer_offsets(spark, tmpdir_path):
+    """FeedConsumer composes with the cross-table publisher too: poll
+    reads only segments past the committed frontier, commit advances it,
+    an uncommitted poll re-delivers."""
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    rows = [
+        _row(1, 0, "I", "tablea", "a", 0, "a0"),
+        _row(2, 0, "I", "tableb", "b", 0, "b0"),
+        _row(3, 0, "U", "tablea", "a", 0, "a0-v2"),
+    ]
+    src, engines = _two_engines(spark, tmpdir_path, rows)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+    pub.run_all()
+    c = pub.consumer(os.path.join(tmpdir_path, "off"), group="g")
+    b = c.poll()
+    assert (b.from_lsn, b.to_lsn) == (0, 3)
+    assert sorted({r.commit_lsn for r in b.df.collect()}) == [1, 2, 3]
+    # crash: no commit -> re-delivery
+    c2 = pub.consumer(os.path.join(tmpdir_path, "off"), group="g")
+    assert c2.poll().to_lsn == 3
+    c2.commit()
+    assert c2.poll() is None
