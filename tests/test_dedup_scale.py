@@ -408,3 +408,36 @@ def test_lloyd_round_broadcast_assignment_parity(spark):
     for (_, la, ln), (_, ba, bn) in zip(lit, bc):
         assert la == pytest.approx(ba, abs=1e-12)
         assert ln == pytest.approx(bn, abs=1e-12)
+
+
+def test_minhash_band_bucket_cap_and_drop_stats(spark):
+    """minhash_lsh_pairs' degenerate-bucket skew guard: a corpus with a
+    large weakly-similar family would pack a band bucket past the cap
+    (B^2/2 candidate pairs); capped buckets are excluded from candidate
+    generation and the drop is logged via drop_stats — never silent.
+    Genuinely near-identical pairs survive through their cold bands."""
+    rows = []
+    # 30 docs sharing one dominant shingle family -> hot band buckets
+    for i in range(30):
+        rows.append((i, "common boilerplate header shared by every doc "
+                        f"variant token{i} tail{i % 3}"))
+    # plus an exact near-dup pair with its own vocabulary
+    rows.append((100, "completely different payload alpha beta gamma delta"))
+    rows.append((101, "completely different payload alpha beta gamma zeta"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    stats = {}
+    capped = DD.minhash_lsh_pairs(df, "doc_id", "text", k_shingle=2,
+                                  n_hashes=8, bands=4, threshold=0.5,
+                                  max_band_bucket_size=10,
+                                  drop_stats=stats).collect()
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_rows"] >= 11
+    # the distinct-vocabulary near-dup pair still pairs (its buckets are
+    # cold), while boilerplate-family pairs above the cap are excluded
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in got
+    uncapped = DD.minhash_lsh_pairs(df, "doc_id", "text", k_shingle=2,
+                                    n_hashes=8, bands=4, threshold=0.5,
+                                    max_band_bucket_size=None).collect()
+    assert len(uncapped) > len(capped)  # the cap is what pruned them
