@@ -226,11 +226,19 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, n_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc minhash signature as n_hashes columns mh0..mh{n-1}."""
+    """Per-doc minhash signature as n_hashes columns mh0..mh{n-1}.
+
+    Same split-hash scheme as :func:`minhash_lsh_pairs_over`: each
+    seeded 60-bit md5 yields two 30-bit minhash functions (low/high
+    halves), so the signature costs n_hashes/2 md5 evaluations."""
+    assert n_hashes % 2 == 0
     sh = _shingled(df, id_col, text_col, k_shingle)
-    aggs = [
-        F.min(seeded(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)
-    ]
+    aggs = []
+    for i in range(n_hashes // 2):
+        h = seeded(F.col("shingle"), i)
+        aggs.append(
+            F.min(h.bitwiseAND(F.lit((1 << 30) - 1))).alias(f"mh{2 * i}"))
+        aggs.append(F.min(F.shiftright(h, 30)).alias(f"mh{2 * i + 1}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
