@@ -107,6 +107,61 @@ class BinlogSource:
             k *= 4
         return None
 
+    def prune(self, before_lsn: int) -> int:
+        """Drop whole LSN buckets wholly below ``before_lsn`` — the
+        reference's capture-table prune cycle (``asncdc.c`` prune
+        command / ``IBMSNAP_PRUNCNTL`` coordination): change rows every
+        subscriber has consumed are physically removed so the capture
+        log stays bounded over a 10^10-event lifetime.
+
+        ``before_lsn`` must be the MINIMUM consumed frontier across ALL
+        consumers of this binlog — each engine's checkpoint commit_lsn
+        (``MultiFeedPublisher.prune_binlog`` computes the min for shared
+        logs; ``CdcEngine.maintain(prune_source=True)`` covers the
+        single-consumer case).  Engines never re-read at or below their
+        checkpoint, so removing strictly-below buckets can never drop an
+        unapplied event.  Bucket granularity: the partial bucket
+        containing ``before_lsn`` is kept (its tail may still be
+        needed).  Pure directory removals — no Spark job, no rewrite.
+        Returns the number of buckets removed.
+        """
+        import shutil
+
+        if not os.path.exists(self.path):
+            return 0
+        removed = 0
+        for d in os.listdir(self.path):
+            if not d.startswith(f"{LSN_BUCKET_COL}="):
+                continue
+            b = int(d.split("=", 1)[1])
+            # bucket b holds commit_lsn in [b*size, (b+1)*size - 1]
+            if (b + 1) * self.bucket_size - 1 < before_lsn:
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
+                removed += 1
+        return removed
+
+    def min_lsn(self) -> int | None:
+        """Smallest retained commit_lsn (None for an empty log) — what a
+        brand-new consumer can replay from after pruning."""
+        if not os.path.exists(self.path):
+            return None
+        buckets = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith(f"{LSN_BUCKET_COL}=")
+        ]
+        if not buckets:
+            return None
+        bot = min(buckets)
+        row = (
+            self.read()
+            .where(F.col(LSN_BUCKET_COL) == bot)
+            .agg(F.min("commit_lsn").alias("m"))
+            .collect()[0]
+        )
+        return row["m"]
+
     def max_lsn(self) -> int | None:
         """S5 probe, pruned to the highest bucket only."""
         if not os.path.exists(self.path):

@@ -742,19 +742,30 @@ class CdcEngine:
         return row["t"]
 
     def maintain(self, compact_threshold: int = 4,
-                 expire_keep_last: int = 64) -> dict:
+                 expire_keep_last: int = 64,
+                 prune_source: bool = False) -> dict:
         """Background table maintenance between micro-batches: compact
         multi-file buckets, vacuum tombstones the checkpoint has passed
         (no older batch can arrive → safe), expire old snapshots.  The
         operational housekeeping a long-running 10^10-event ingest needs;
         each piece is its own commit, so a crash mid-maintenance loses
-        nothing."""
+        nothing.
+
+        ``prune_source=True`` additionally drops fully-consumed binlog
+        buckets below this engine's checkpoint (the reference's capture
+        prune cycle, ``asncdc.c``).  ONLY safe when this engine is the
+        binlog's sole consumer — for a shared multi-table binlog use
+        ``MultiFeedPublisher.prune_binlog`` (min frontier across
+        engines) instead."""
         off = self.checkpoint.read()
         compacted = self.target.compact(max_files_per_bucket=compact_threshold)
         if self.target.manifest().get("versioned", False):
             self.target.vacuum_tombstones(before_lsn=off.commit_lsn)
         stats = self.target.expire_snapshots(keep_last=expire_keep_last)
         stats["compacted_buckets"] = compacted
+        if prune_source:
+            stats["pruned_binlog_buckets"] = self.binlog.prune(
+                off.commit_lsn)
         return stats
 
     def heartbeat(self) -> None:

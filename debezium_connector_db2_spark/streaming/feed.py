@@ -366,6 +366,21 @@ class MultiFeedPublisher:
         return max((int(d.rsplit("-", 1)[1]) for d in os.listdir(self.dir)
                     if d.startswith("mseg-")), default=0)
 
+    def prune_binlog(self) -> int:
+        """Drop fully-consumed buckets from the shared binlog: prune
+        below the minimum checkpoint frontier across ALL engines AND the
+        published feed frontier, so neither a lagging table nor an
+        unpublished interval can lose data — the multi-subscriber form
+        of the reference's capture prune cycle (``IBMSNAP_PRUNCNTL``
+        keeps one frontier per subscriber; prune honors the min).
+        Returns the number of buckets removed."""
+        frontier = min(
+            min(e.checkpoint.read().commit_lsn for e in self.engines.values()),
+            self.published_to(),
+        )
+        binlogs = {id(e.binlog): e.binlog for e in self.engines.values()}
+        return sum(b.prune(frontier) for b in binlogs.values())
+
     def _watermark(self) -> int:
         """The cross-table publishable frontier: every table has applied
         (merge-committed) at least this far."""

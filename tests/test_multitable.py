@@ -333,3 +333,30 @@ def test_multi_feed_consumer_offsets(spark, tmpdir_path):
     assert c2.poll().to_lsn == 3
     c2.commit()
     assert c2.poll() is None
+
+
+def test_multi_feed_prune_binlog_honors_min_frontier(spark, tmpdir_path):
+    """Shared-binlog prune must honor the MINIMUM frontier across every
+    engine and the published feed (IBMSNAP_PRUNCNTL semantics): with one
+    table lagging, only buckets below ITS checkpoint are removable."""
+    from debezium_connector_db2_spark.streaming.feed import MultiFeedPublisher
+
+    rows = ([_row(i, 0, "I", "tablea", "a", i, f"a{i}") for i in range(1, 30)]
+            + [_row(i, 0, "I", "tableb", "b", i, f"b{i}")
+               for i in range(30, 41)])
+    src, engines = _two_engines(spark, tmpdir_path, rows)
+    pub = MultiFeedPublisher(engines, os.path.join(tmpdir_path, "feed"))
+
+    # only tablea drains: tableb's checkpoint stays at 0, so NOTHING is
+    # prunable even though tablea consumed everything
+    engines["tablea"].run_available(on_batch=pub.hook_for("tablea"))
+    assert pub.prune_binlog() == 0
+
+    engines["tableb"].run_available(on_batch=pub.hook_for("tableb"))
+    pub.drain()
+    removed = pub.prune_binlog()
+    assert removed > 0
+    assert src.min_lsn() >= 40 - 16 + 1   # frontier bucket retained
+    # both tables' final state intact
+    got = [r for r in pub.read().collect() if r.envelope is not None]
+    assert len(got) == 40

@@ -111,3 +111,19 @@ def test_simhash_bucket_cap_semi_join(spark):
     plan = formatted_plan(pairs)
     assert "Window" not in plan
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_minhash_band_bucket_cap_semi_join(spark):
+    """The minhash band-bucket cap is also a semi-join against a tiny
+    aggregated count table (AQE broadcasts it), never a window over the
+    exploded band rows."""
+    from debezium_connector_db2_spark.operators.dedup_text import (
+        minhash_lsh_pairs)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k_shingle=2,
+                              n_hashes=16, bands=4, threshold=0.2,
+                              max_band_bucket_size=400)
+    plan = formatted_plan(pairs)
+    assert "Window" not in plan
+    assert "LeftSemi" in plan, plan[:2000]
