@@ -208,8 +208,9 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
 #: second data point that pins their scaling *curve*, not just the sf0.1
 #: floor (the CDC metric already has 1x/4x/64x points).
 DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "8"))
-SCALED_QUERIES = ["dedup_minhash_lsh", "dedup_cluster_keepers",
-                  "dedup_conversations_near", "ann_ivf_topk"]
+SCALED_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                  "dedup_cluster_keepers", "dedup_conversations_near",
+                  "dedup_embedding_cosine", "ann_ivf_topk"]
 N_WARM_SCALED = max(1, int(os.environ.get("SPARK_GRAFT_SCALED_PASSES", "2")))
 
 

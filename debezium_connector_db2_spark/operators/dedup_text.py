@@ -41,8 +41,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _turn_fp(turn_col: str, text_col: str, role_col: str | None):
+    """Per-turn fingerprint struct: md5 of the normalized text, with the
+    role folded in when ``role_col`` is given — the same words spoken by
+    a different role (user vs assistant vs tool) are a different turn in
+    a transcript corpus (BASELINE input_hint carries role/tool columns).
+    """
+    fp = fingerprint(F.col(text_col))
+    if role_col is not None:
+        fp = F.md5(F.concat_ws("#", F.lower(F.coalesce(
+            F.col(role_col), F.lit(""))), fp))
+    return F.struct(F.col(turn_col).alias("t"), fp.alias("fp"))
+
+
 def conversation_fingerprint(
     df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+    role_col: str | None = None,
 ) -> DataFrame:
     """Per-conversation fingerprint over *ordered* turns: md5 of the
     '|'-joined per-turn fingerprints in ``turn_col`` order — the
@@ -57,10 +71,7 @@ def conversation_fingerprint(
     conversations; it does NOT require globally sorted input.
     Returns (conv_id, conv_fp).
     """
-    turn_fp = F.struct(
-        F.col(turn_col).alias("t"),
-        fingerprint(F.col(text_col)).alias("fp"),
-    )
+    turn_fp = _turn_fp(turn_col, text_col, role_col)
     return (
         df.select(F.col(conv_col).alias("conv_id"), turn_fp.alias("tf"))
         .groupBy("conv_id")
@@ -73,6 +84,7 @@ def conversation_fingerprint(
 
 def conversation_dedup(
     df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+    role_col: str | None = None,
 ) -> DataFrame:
     """Exact conversation-level dedup: one row per distinct ordered-turn
     fingerprint with the keeper (min conv id) and the duplicate count —
@@ -80,7 +92,8 @@ def conversation_dedup(
     transcripts.  Two shuffles total (conv rollup, fingerprint rollup),
     both map-side combined."""
     return (
-        conversation_fingerprint(df, conv_col, turn_col, text_col)
+        conversation_fingerprint(df, conv_col, turn_col, text_col,
+                                 role_col=role_col)
         .groupBy("conv_fp")
         .agg(F.min("conv_id").alias("keeper_conv"),
              F.count(F.lit(1)).alias("n_convs"))
@@ -89,6 +102,7 @@ def conversation_dedup(
 
 def conversation_turn_shingles(
     df: DataFrame, conv_col: str, turn_col: str, text_col: str,
+    role_col: str | None = None,
 ) -> DataFrame:
     """Order-sensitive conversation shingles: one row per *turn
     transition* — ``fp(turn_i) | fp(turn_i+1)`` over the turn-ordered
@@ -104,10 +118,7 @@ def conversation_turn_shingles(
     two slices (O(n_turns) per conv, no self-join).  Returns
     (doc_id=conv, shingle) ready for :func:`minhash_lsh_pairs_over`.
     """
-    turn_fp = F.struct(
-        F.col(turn_col).alias("t"),
-        fingerprint(F.col(text_col)).alias("fp"),
-    )
+    turn_fp = _turn_fp(turn_col, text_col, role_col)
     fps = (
         df.select(F.col(conv_col).alias("doc_id"), turn_fp.alias("tf"))
         .groupBy("doc_id")
@@ -140,6 +151,7 @@ def conversation_near_dup(
     threshold: float = 0.5,
     max_band_bucket_size: int | None = 1000,
     drop_stats: dict | None = None,
+    role_col: str | None = None,
 ) -> DataFrame:
     """Conversation-level *near*-dup: minhash-LSH over the ordered
     turn-transition shingles, exact turn-transition-Jaccard verify —
@@ -150,7 +162,8 @@ def conversation_near_dup(
     :func:`minhash_lsh_pairs_over`; scale shape is identical to
     :func:`minhash_lsh_pairs` (banded equi-join candidates, no O(n²)).
     """
-    sh = conversation_turn_shingles(df, conv_col, turn_col, text_col)
+    sh = conversation_turn_shingles(df, conv_col, turn_col, text_col,
+                                    role_col=role_col)
     return (
         minhash_lsh_pairs_over(sh, n_hashes=n_hashes, bands=bands,
                                threshold=threshold,

@@ -441,3 +441,33 @@ def test_minhash_band_bucket_cap_and_drop_stats(spark):
                                     n_hashes=8, bands=4, threshold=0.5,
                                     max_band_bucket_size=None).collect()
     assert len(uncapped) > len(capped)  # the cap is what pruned them
+
+
+def test_conversation_dedup_role_sensitive(spark):
+    """role_col folds the speaker into the turn fingerprint: the same
+    words spoken by a different role are a different transcript (the
+    input table carries role/tool columns; text-only identity would
+    merge a user question with an assistant echo of it)."""
+    rows = [
+        (1, 0, "user", "hello"), (1, 1, "assistant", "hi there"),
+        (2, 0, "user", "hello"), (2, 1, "assistant", "hi there"),
+        # same words, roles swapped -> different conversation
+        (3, 0, "assistant", "hello"), (3, 1, "user", "hi there"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "conv: long, turn: int, role: string, text: string")
+    with_role = {r.conv_fp: (r.keeper_conv, r.n_convs)
+                 for r in DD.conversation_dedup(
+                     df, "conv", "turn", "text", role_col="role").collect()}
+    assert sorted(with_role.values()) == [(1, 2), (3, 1)]
+    # without role_col the swapped-roles conversation merges too
+    text_only = {r.conv_fp: r.n_convs
+                 for r in DD.conversation_dedup(
+                     df, "conv", "turn", "text").collect()}
+    assert sorted(text_only.values()) == [3]
+    # near-dup variant honors the same distinction
+    near = {(r.conv_a, r.conv_b)
+            for r in DD.conversation_near_dup(
+                df, "conv", "turn", "text", role_col="role",
+                threshold=0.5).collect()}
+    assert near == {(1, 2)}
