@@ -156,3 +156,44 @@ def test_streaming_normalizes_renames_and_added_columns(spark, tmpdir_path):
     row = t.read().collect()[0]
     assert row.tool_name == "bash"
     assert row.score is None          # explicit NULL from the new data
+
+
+def test_structured_streaming_over_merge_on_read_target(spark, tmpdir_path):
+    """The real high-frequency deployment combo: Structured Streaming
+    micro-batches into a merge_mode='mor' target — each epoch appends
+    O(changes) delta files, readers resolve the per-key LSN argmax, and
+    compact() folds without changing state.  Must converge to the same
+    oracle as the CoW path, including across a second availableNow pass."""
+    snap = generate_snapshot(spark, n_convs=40, turns_per_conv=6, seed=27)
+    binlog = generate_binlog(spark, n_ops=600, n_convs=40, turns_per_conv=6,
+                             seed=27)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl-mor"),
+                       bucket_size=20)
+    src.write(binlog)
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t-mor"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4, versioned=True,
+        merge_mode="mor", key_cols=PK_COLS,
+    )
+    t.overwrite(snap, batch_id="snapshot", position=(0, 0))
+
+    s = StreamingCdc(
+        spark, os.path.join(tmpdir_path, "bl-mor"), t,
+        os.path.join(tmpdir_path, "sckpt-mor"),
+        max_files_per_trigger=3,
+    )
+    s.run_available()
+    want = oracle_final_state(snap, binlog)
+    assert_df_equal(t.read(), want, PK_COLS)
+
+    # several epochs appended delta files; compact folds, state unchanged
+    assert t.compact() > 0
+    assert_df_equal(t.read(), want, PK_COLS)
+
+    tail = generate_binlog(spark, n_ops=200, n_convs=40, turns_per_conv=6,
+                           seed=28, lsn_offset=5000)
+    src.write(tail)
+    s.run_available()
+    want2 = oracle_final_state(snap, binlog.unionByName(tail))
+    assert_df_equal(t.read(), want2, PK_COLS)
