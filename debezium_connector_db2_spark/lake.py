@@ -201,6 +201,46 @@ class LakeTable:
             out.append({"version": v, "summary": m["summary"]})
         return out
 
+    def changes_between(self, from_version: int,
+                        to_version: int | None = None) -> DataFrame:
+        """Net per-key changes between two retained snapshots — the
+        incremental-consumption read (Iceberg's incremental scan /
+        ``create_changelog_view`` in net-changes mode): everything a
+        downstream consumer must apply to move a copy of this table from
+        ``from_version`` to ``to_version`` (default: current).
+
+        Versioned tables only (rows carry their applied position).  A
+        row is a net change iff its ``(__commit_lsn, __intent_seq)``
+        exceeds the from-snapshot's maximum applied position — one row
+        per changed key: the winning upsert (``op='u'``) or a tombstone
+        (``op='d'``, tombstones not yet vacuumed).  Contract (pinned in
+        tests): ``read(from) + apply(changes) == read(to)``.
+
+        Scale shape: one min/max-stat-friendly aggregate over the old
+        snapshot (parquet row-group stats prune it) + one filtered scan
+        of the new snapshot; no anti-join of two table-sized frames.
+        """
+        m_to = self.manifest(to_version)
+        if not m_to.get("versioned", False):
+            raise ValueError("changes_between requires a versioned table "
+                             "(rows must carry their applied position)")
+        base = self.read(version=from_version, raw=True)
+        row = base.agg(
+            F.max(F.struct(F.col("__commit_lsn"), F.col("__intent_seq")))
+            .alias("p")).collect()[0]["p"]
+        cur = self.read(version=to_version, raw=True)
+        if row is not None:
+            frontier = F.struct(
+                F.lit(row["__commit_lsn"]).alias("__commit_lsn"),
+                F.lit(row["__intent_seq"]).alias("__intent_seq"))
+            cur = cur.where(
+                F.struct(F.col("__commit_lsn"), F.col("__intent_seq"))
+                > frontier)
+        return cur.withColumn(
+            "op",
+            F.when(F.coalesce(F.col("__deleted"), F.lit(False)), "d")
+            .otherwise("u"))
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """GC old versions: drop manifests older than the last
         ``keep_last`` and delete data files referenced *only* by them —

@@ -729,15 +729,18 @@ class CdcEngine:
         events carry ``ts`` inline, so this is a pruned min() probe;
         cached driver-side."""
         if not hasattr(self, "_lsn_ts_cache"):
-            self._lsn_ts_cache = {}
+            from collections import OrderedDict
+
+            self._lsn_ts_cache = OrderedDict()
         if commit_lsn in self._lsn_ts_cache:
+            self._lsn_ts_cache.move_to_end(commit_lsn)  # LRU touch
             return self._lsn_ts_cache[commit_lsn]
         row = (
             self.binlog.read_range(commit_lsn, commit_lsn)
             .agg(F.min("ts").alias("t")).collect()[0]
         )
-        if len(self._lsn_ts_cache) > 100:   # bounded like the reference
-            self._lsn_ts_cache.clear()
+        while len(self._lsn_ts_cache) >= 100:   # bounded like the
+            self._lsn_ts_cache.popitem(last=False)  # reference, true LRU
         self._lsn_ts_cache[commit_lsn] = row["t"]
         return row["t"]
 

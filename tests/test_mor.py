@@ -256,3 +256,30 @@ def test_mor_auto_compaction_bounds_delta_files_across_soak(spark, tmpdir_path):
     c = sorted(got.columns)
     assert (got.select(c).exceptAll(want.select(c)).count()
             + want.select(c).exceptAll(got.select(c)).count()) == 0
+
+
+def test_mor_changes_between_resolves_deltas(spark, tmpdir_path):
+    """changes_between on a merge-on-read table reads *through* the
+    delta resolution: the net change per key is the winning row, even
+    when the window spans several unfolded delta files."""
+    t = _mor(spark, os.path.join(tmpdir_path, "t"))
+    t.merge_changes(_changes(spark, [("c", 1, 0, "a", 0, "a0"),
+                                     ("c", 1, 1, "b", 0, "b0")]),
+                    PK, batch_id="b1")
+    v1 = t.current_version()
+    t.merge_changes(_changes(spark, [("u", 2, 0, "a", 0, "a1")]),
+                    PK, batch_id="b2")
+    t.merge_changes(_changes(spark, [("u", 3, 0, "a", 0, "a2"),
+                                     ("d", 3, 1, "b", 0, "b0")]),
+                    PK, batch_id="b3")
+    ch = sorted((r.conv_id, r.op, r.text)
+                for r in t.changes_between(v1).collect())
+    # one NET row per key: a's intermediate a1 is collapsed away
+    assert ch == [("a", "u", "a2"), ("b", "d", "b0")]
+
+
+def test_changes_between_requires_versioned(spark, tmpdir_path):
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "plain"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    with pytest.raises(ValueError, match="versioned"):
+        t.changes_between(0)

@@ -197,3 +197,61 @@ def test_structured_streaming_over_merge_on_read_target(spark, tmpdir_path):
     s.run_available()
     want2 = oracle_final_state(snap, binlog.unionByName(tail))
     assert_df_equal(t.read(), want2, PK_COLS)
+
+
+def test_time_travel_and_changes_between(spark, tmpdir_path):
+    """Snapshot isolation + incremental consumption: read(version=v)
+    returns the state as of that commit, and changes_between(v1, v2)
+    returns exactly the net per-key deltas — pinned by the contract
+    read(v1) + apply(changes) == read(v2), including a tombstone for a
+    key deleted in the window."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2, versioned=True,
+    )
+    t.merge_changes(_changes(spark, [
+        _row(1, 0, "I", "a", 0, "a0"),
+        _row(1, 1, "I", "b", 0, "b0"),
+        _row(2, 0, "I", "c", 0, "c0"),
+    ]), PK_COLS, batch_id="b1")
+    v1 = t.current_version()
+    state_v1 = [(r.conv_id, r.turn_idx, r.text)
+                for r in t.read().orderBy("conv_id", "turn_idx").collect()]
+
+    t.merge_changes(_changes(spark, [
+        _row(3, 0, "U", "a", 0, "a0-v2"),      # update
+        _row(4, 0, "I", "d", 0, "d0"),         # insert
+        _row(5, 0, "D", "b", 0, "b0"),         # delete
+    ]), PK_COLS, batch_id="b2")
+    v2 = t.current_version()
+
+    # time travel: the old snapshot is still exactly readable
+    got_v1 = [(r.conv_id, r.turn_idx, r.text)
+              for r in t.read(version=v1)
+              .orderBy("conv_id", "turn_idx").collect()]
+    assert got_v1 == state_v1 == [("a", 0, "a0"), ("b", 0, "b0"),
+                                  ("c", 0, "c0")]
+
+    # net changes: one row per changed key, with op
+    ch = t.changes_between(v1, v2)
+    got = sorted((r.conv_id, r.turn_idx, r.op, r.text)
+                 for r in ch.collect())
+    assert got == [("a", 0, "u", "a0-v2"), ("b", 0, "d", "b0"),
+                   ("d", 0, "u", "d0")]
+
+    # the contract: applying the changes to a copy at v1 reproduces v2
+    copy = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "copy"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2, versioned=True,
+    )
+    copy.overwrite(t.read(version=v1), batch_id="seed", position=(0, 0))
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    copy.merge_changes(
+        ch.select(F.col("__commit_lsn").alias("commit_lsn"),
+                  F.col("__intent_seq").alias("intent_seq"),
+                  "op", *cols),
+        PK_COLS, batch_id="apply")
+    assert_df_equal(copy.read(), t.read(version=v2), PK_COLS)
+
+    # unchanged keys never appear in the changelog
+    assert not {r.conv_id for r in ch.collect()} & {"c"}
