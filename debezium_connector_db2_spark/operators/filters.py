@@ -63,6 +63,73 @@ def project_payload(df: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
     return df.select(*payload_cols)
 
 
+def select_columns(
+    all_columns: Sequence[str],
+    qualified_table: str,
+    include_list: str | None = None,
+    exclude_list: str | None = None,
+    always_keep: Sequence[str] = (),
+) -> list[str]:
+    """Debezium's ``column.include.list`` / ``column.exclude.list``
+    resolution (RelationalDatabaseConnectorConfig; the Db2 connector
+    inherits it): comma-separated regexes fullmatched case-insensitively
+    against the *fully-qualified* column name ``schema.table.column``.
+    Exactly one of include/exclude may be set (both raises, mirroring
+    the reference's config validation).  ``always_keep`` columns (the
+    PK / CDC position columns) survive either mode — the reference
+    refuses to drop key columns.  Returns the retained columns in their
+    original order; a config column remains a *plan-time* projection, so
+    Catalyst prunes the parquet scan to the survivors.
+    """
+    import re
+
+    if include_list and exclude_list:
+        raise ValueError("column.include.list and column.exclude.list "
+                         "are mutually exclusive")
+    if not include_list and not exclude_list:
+        return list(all_columns)
+    pats = [re.compile(p.strip(), re.IGNORECASE)
+            for p in (include_list or exclude_list).split(",") if p.strip()]
+
+    def matched(col: str) -> bool:
+        return any(p.fullmatch(f"{qualified_table}.{col}") for p in pats)
+
+    keep = set(always_keep)
+    if include_list:
+        return [c for c in all_columns if c in keep or matched(c)]
+    return [c for c in all_columns if c in keep or not matched(c)]
+
+
+def filtered_schema(
+    schema,
+    qualified_table: str,
+    include_list: str | None = None,
+    exclude_list: str | None = None,
+    always_keep: Sequence[str] = (),
+):
+    """Resolve ``column.include.list`` / ``column.exclude.list`` into the
+    *target table schema* — the architectural home of column filtering
+    in this engine: the reference drops excluded columns from every
+    emitted event; here the target is created WITHOUT them, and the
+    engine's payload projection (= target schema) then keeps excluded
+    columns out of the binlog scan (Catalyst prunes the parquet read),
+    the MERGE, and the exported events by construction::
+
+        schema = filtered_schema(FULL_SCHEMA, "cdc.transcripts",
+                                 exclude_list=r"cdc\\.transcripts\\.tool",
+                                 always_keep=PK_COLS)
+        target = LakeTable.create(spark, path, schema, ...)
+    """
+    from pyspark.sql import types as T
+
+    names = select_columns([f.name for f in schema.fields], qualified_table,
+                           include_list=include_list,
+                           exclude_list=exclude_list,
+                           always_keep=always_keep)
+    keep = set(names)
+    return T.StructType([f for f in schema.fields if f.name in keep])
+
+
 def order_nulls_last(df: DataFrame, *cols: str) -> DataFrame:
     """O5: Db2 sorts NULLs *last* under ASC (``Db2Connection.java:460-465``)
     while Spark's default ASC puts them first — make the Db2 semantics

@@ -513,6 +513,11 @@ class CdcEngine:
     # -- streaming phase -----------------------------------------------------
 
     def payload_cols(self) -> list[str]:
+        # column.include/exclude resolve at TARGET CREATION
+        # (filters.filtered_schema) — by the time the engine runs, the
+        # target schema IS the filtered column set, so the payload
+        # projection (and therefore the binlog scan pruning and the
+        # exported events) carry only survivors by construction.
         return [f.name for f in self.target.schema().fields]
 
     def _apply_ddl(self, change: SchemaChange) -> None:

@@ -1,6 +1,7 @@
 """Unit tests for the per-operator kernels (SURVEY.md §5 'unit tier')."""
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -157,3 +158,64 @@ def test_masking(spark):
     import hashlib
     assert r.a == hashlib.sha256(b"ssecret").hexdigest()
     assert mask_hash(df, "c", salt="s").collect()[0].c is None
+
+
+def test_column_include_exclude_lists(spark, tmpdir_path):
+    """column.include.list / column.exclude.list (Debezium core config
+    the Db2 connector inherits): regexes fullmatch schema.table.column;
+    PK columns always survive; both set -> config error.  The filter
+    resolves into the target schema (filtered_schema), so a replay over
+    a filtered target stores, scans, and exports only survivors."""
+    import datetime
+
+    from debezium_connector_db2_spark.lake import LakeTable
+    from debezium_connector_db2_spark.operators.filters import (
+        filtered_schema,
+        select_columns,
+    )
+    from debezium_connector_db2_spark.schemas import (
+        BINLOG_SCHEMA,
+        PK_COLS,
+        TRANSCRIPT_SCHEMA,
+    )
+    from debezium_connector_db2_spark.sources.binlog import BinlogSource
+    from debezium_connector_db2_spark.streaming.engine import CdcEngine
+
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    qt = "cdc.transcripts"
+    assert select_columns(cols, qt, include_list=r"cdc\.transcripts\.text",
+                          always_keep=PK_COLS) == \
+        ["conv_id", "turn_idx", "text"]
+    assert select_columns(cols, qt, exclude_list=r".*\.tool,.*\.role") == \
+        ["conv_id", "turn_idx", "text", "ts"]
+    # fullmatch, not substring; PK survives an exclude that names it
+    assert select_columns(cols, qt, exclude_list=r"tool") == cols
+    assert select_columns(cols, qt, exclude_list=r".*\.conv_id",
+                          always_keep=PK_COLS) == cols
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        select_columns(cols, qt, include_list="a", exclude_list="b")
+
+    # end-to-end: target created from the filtered schema; replay works
+    # and neither stores nor exports the excluded column
+    schema = filtered_schema(TRANSCRIPT_SCHEMA, qt,
+                             exclude_list=r".*\.tool", always_keep=PK_COLS)
+    assert "tool" not in [f.name for f in schema.fields]
+    ts = datetime.datetime(2026, 1, 1)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+    src.write(spark.createDataFrame(
+        [(1, 0, "I", "transcripts", 0, "a", 0, "user", "hi", "grep", ts)],
+        BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema,
+                         bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"))
+    eng.run_available()
+    got = t.read().collect()
+    assert [(r.conv_id, r.text) for r in got] == [("a", "hi")]
+    assert "tool" not in t.read().columns
+    ev = eng.export_events(1, 1).collect()
+    for r in ev:
+        for side in (r.before, r.after):
+            if side is not None:
+                assert "tool" not in side.asDict()
