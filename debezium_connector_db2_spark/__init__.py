@@ -38,7 +38,11 @@ from debezium_connector_db2_spark.streaming.engine import (
     export_envelope_multi,
     run_all_with_repair,
 )
-from debezium_connector_db2_spark.streaming.feed import FeedPublisher
+from debezium_connector_db2_spark.streaming.feed import (
+    FeedConsumer,
+    FeedPublisher,
+    MultiFeedPublisher,
+)
 from debezium_connector_db2_spark.streaming.notifications import NotificationLog
 from debezium_connector_db2_spark.streaming.signals import SignalChannel
 
@@ -53,6 +57,8 @@ __all__ = [
     "run_all_with_repair",
     "export_envelope_multi",
     "FeedPublisher",
+    "FeedConsumer",
+    "MultiFeedPublisher",
     "NotificationLog",
     "SignalChannel",
     "wrap_envelope",
