@@ -786,26 +786,36 @@ def q_dedup_conversations_near(spark, sf_dir):
     LSH over ordered turn-transition shingles + exact transition-Jaccard
     verify — transcripts sharing a run of turns pair, the same turns
     reordered never do.  The corpus is the ``dedup_conversations``
-    10-turn grouping PLUS a half-stride-shifted grouping (conv k' covers
-    docs 10k+5..10k+14), so each shifted conversation genuinely shares 4
-    of 9 turn transitions with its two base neighbours (Jaccard 0.2857
-    ≥ the 0.2 threshold) — a non-degenerate fuzzy-pair population at
-    every sf."""
+    10-turn grouping PLUS a one-turn-shifted grouping (conv k' covers
+    docs 10k+1..10k+10), so each shifted conversation genuinely shares
+    8 of 9 turn transitions with its base neighbour (Jaccard 0.8) — a
+    non-degenerate fuzzy-pair population at every sf.
+
+    Parameters follow the doc-level row's scale-certified shape:
+    16 hashes / 4 bands (r=4 — band-collision probability sim⁴, the
+    r=2 shape measured to degenerate at the 8× bench corpus) plus an
+    explicit capped+logged bucket guard.  The r=4 S-curve midpoint is
+    (1/4)^(1/4) ≈ 0.71, so the J=0.8 shifted population sits above it
+    (the round-5 half-stride J=0.2857 population was only detectable
+    under the degenerate r=2 shape).  Shifted conversations are
+    namespaced as *negative* ids (-(1+k)) so they can never collide
+    with base ids (doc_id div 10 ≥ 0) at any corpus size, and all id
+    arithmetic is integer ``div`` (no float divide + cast)."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
-        (F.col("doc_id") / 10).cast("long").alias("conv"),
+        F.expr("doc_id div 10").cast("long").alias("conv"),
         F.pmod(F.col("doc_id"), F.lit(10)).cast("int").alias("turn"),
         "text",
     )
-    shifted = docs.where(F.col("doc_id") >= 5).select(
-        (F.lit(1000000) + (F.col("doc_id") - 5) / 10).cast("long")
-        .alias("conv"),
-        F.pmod(F.col("doc_id") - 5, F.lit(10)).cast("int").alias("turn"),
+    shifted = docs.where(F.col("doc_id") >= 1).select(
+        F.expr("-(1 + (doc_id - 1) div 10)").cast("long").alias("conv"),
+        F.pmod(F.col("doc_id") - 1, F.lit(10)).cast("int").alias("turn"),
         "text",
     )
     return DD.conversation_near_dup(base.unionByName(shifted),
                                     "conv", "turn", "text",
-                                    n_hashes=8, bands=4, threshold=0.2)
+                                    n_hashes=16, bands=4, threshold=0.2,
+                                    max_band_bucket_size=1000)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1341,8 +1351,8 @@ def oracle_sql() -> dict[str, str]:
                  {fpq} AS fp
           FROM documents
           UNION ALL
-          SELECT 1000000 + (doc_id - 5) // 10, (doc_id - 5) % 10, {fpq}
-          FROM documents WHERE doc_id >= 5),
+          SELECT -(1 + (doc_id - 1) // 10), (doc_id - 1) % 10, {fpq}
+          FROM documents WHERE doc_id >= 1),
         counts AS (SELECT conv_id, count(*) AS n FROM turns GROUP BY conv_id),
         sh AS (
           SELECT DISTINCT doc_id, shingle FROM (
@@ -1726,7 +1736,7 @@ def oracle_sql() -> dict[str, str]:
             FROM conv GROUP BY conv_fp
         """,
         "dedup_conversations_near": _minhash_sql(
-            8, 4, 0.2, sh_ctes=conv_sh_ctes,
+            16, 4, 0.2, sh_ctes=conv_sh_ctes,
             out_a="conv_a", out_b="conv_b",
             max_band_bucket_size=1000),
         "dedup_ngram_jaccard": ngram_pairs_sql,

@@ -219,11 +219,32 @@ class LakeTable:
         Scale shape: one min/max-stat-friendly aggregate over the old
         snapshot (parquet row-group stats prune it) + one filtered scan
         of the new snapshot; no anti-join of two table-sized frames.
+
+        A ``vacuum_tombstones`` run inside ``(from, to]`` physically
+        removes delete events the changelog would need, silently
+        breaking the contract — detected from the manifest summaries
+        and raised (consume the changelog *before* vacuuming past it,
+        exactly like binlog retention vs a lagging consumer).
         """
         m_to = self.manifest(to_version)
         if not m_to.get("versioned", False):
             raise ValueError("changes_between requires a versioned table "
                              "(rows must carry their applied position)")
+        to_v = (to_version if to_version is not None
+                else self.current_version())
+        for v in range(from_version + 1, to_v + 1):
+            try:
+                s = self.manifest(v)["summary"]
+            except FileNotFoundError:
+                continue        # expired manifest: vacuum state unknowable,
+                # but expiry already means the window isn't replayable
+            if s.get("operation") == "vacuum-tombstones":
+                raise ValueError(
+                    f"changes_between({from_version}, {to_v}): a "
+                    f"vacuum-tombstones commit at version {v} removed "
+                    f"delete events inside the window — the changelog "
+                    f"cannot reproduce read(to) from read(from); consume "
+                    f"changes before vacuuming past them")
         base = self.read(version=from_version, raw=True)
         row = base.agg(
             F.max(F.struct(F.col("__commit_lsn"), F.col("__intent_seq")))

@@ -149,7 +149,7 @@ def conversation_near_dup(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
-    max_band_bucket_size: int | None = 1000,
+    max_band_bucket_size: int | None = None,
     drop_stats: dict | None = None,
     role_col: str | None = None,
 ) -> DataFrame:
@@ -263,7 +263,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_band_bucket_size: int | None = 1000,
+    max_band_bucket_size: int | None = None,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs by banded LSH, verified with exact Jaccard.
@@ -285,7 +285,7 @@ def minhash_lsh_pairs_over(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_band_bucket_size: int | None = 1000,
+    max_band_bucket_size: int | None = None,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """The banded-LSH + exact-verify core over any pre-shingled
@@ -300,10 +300,11 @@ def minhash_lsh_pairs_over(
     biggest bucket 1.6k docs) vs 4s capped on an 8× corpus.  Buckets
     over the cap are excluded from candidate generation; a pair is lost
     only if *every* band it agrees on is over-hot, and genuinely-near
-    duplicates agree on many bands, most of them cold.  Not a silent
-    cap — pass ``drop_stats={}`` to have the dropped-bucket summary
-    computed, logged, and filled in (same contract as
-    :func:`simhash_pairs`).
+    duplicates agree on many bands, most of them cold.  The library
+    default is ``None`` (uncapped — full recall, no silent loss);
+    corpus-scale callers opt in with an explicit cap and may pass
+    ``drop_stats={}`` to have the dropped-bucket summary computed,
+    logged, and filled in (same contract as :func:`simhash_pairs`).
     """
     assert n_hashes % bands == 0
     assert n_hashes % 2 == 0, "split-hash signatures need even n_hashes"

@@ -283,6 +283,15 @@ def _lloyd_round(items: DataFrame, id_col: str, vec_col: str,
         if not got:
             out.append((cent_id, comps, cnorm))  # empty cell: keep
             continue
+        # A ragged vector column (rows shorter/longer than the centroid
+        # dim) would otherwise KeyError mid-refinement or silently skew
+        # the mean (per-component counts diverge) — fail with the cause.
+        if len(got) != len(comps) or len({n for _, n in got.values()}) > 1:
+            raise ValueError(
+                f"_lloyd_round: ragged vector column — cell {cent_id} has "
+                f"component indexes 0..{max(got)} with per-component counts "
+                f"{sorted({n for _, n in got.values()})}, centroid dim is "
+                f"{len(comps)}; all vectors must have uniform length")
         mean = [got[i][0] / got[i][1] for i in range(len(comps))]
         acc = 0.0
         for x in mean:

@@ -471,3 +471,23 @@ def test_conversation_dedup_role_sensitive(spark):
                 df, "conv", "turn", "text", role_col="role",
                 threshold=0.5).collect()}
     assert near == {(1, 2)}
+
+
+def test_lloyd_round_ragged_vectors_raise(spark):
+    """A ragged vector column (a row shorter than the centroid dim)
+    must fail refinement with a clear ValueError, not a KeyError deep
+    in the mean computation or a silently skewed mean."""
+    import pytest
+
+    from debezium_connector_db2_spark.operators.similarity import (
+        _lloyd_round,
+        ivf_centroids,
+    )
+
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(20)]
+    rows.append((99, [1.0, 2.0]))            # ragged: dim 2 among dim 4
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = ivf_centroids(
+        emb.where(F.col("vec_id") < 20), n_cells=2, seed=11)
+    with pytest.raises(ValueError, match="ragged"):
+        _lloyd_round(emb, "vec_id", "embedding", cents)

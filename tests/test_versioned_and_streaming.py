@@ -255,3 +255,38 @@ def test_time_travel_and_changes_between(spark, tmpdir_path):
 
     # unchanged keys never appear in the changelog
     assert not {r.conv_id for r in ch.collect()} & {"c"}
+
+
+def test_changes_between_detects_vacuum_in_window(spark, tmpdir_path):
+    """A vacuum_tombstones commit inside (from, to] physically removes
+    delete events the changelog needs — changes_between must refuse
+    rather than silently return an incomplete changelog (its contract
+    read(from) + apply(changes) == read(to) would no longer hold)."""
+    import pytest
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2, versioned=True,
+    )
+    t.merge_changes(_changes(spark, [
+        _row(1, 0, "I", "a", 0, "a0"),
+        _row(1, 1, "I", "b", 0, "b0"),
+    ]), PK_COLS, batch_id="b1")
+    v1 = t.current_version()
+    t.merge_changes(_changes(spark, [
+        _row(5, 0, "D", "b", 0, "b0"),
+    ]), PK_COLS, batch_id="b2")
+    t.vacuum_tombstones(before_lsn=100)
+    v2 = t.current_version()
+
+    with pytest.raises(ValueError, match="vacuum-tombstones"):
+        t.changes_between(v1, v2).collect()
+    with pytest.raises(ValueError, match="vacuum-tombstones"):
+        t.changes_between(v1).collect()          # to=current, same window
+
+    # a window that STARTS at/after the vacuum commit is still served
+    t.merge_changes(_changes(spark, [
+        _row(7, 0, "I", "c", 0, "c0"),
+    ]), PK_COLS, batch_id="b3")
+    got = sorted((r.conv_id, r.op) for r in t.changes_between(v2).collect())
+    assert got == [("c", "u")]
