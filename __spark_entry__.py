@@ -957,6 +957,16 @@ def q_media_frame_plan(spark, sf_dir):
 #: oracles by tests/test_oracle_parity.py with the same compare the
 #: driver uses (scripts/check_contract.py) — no operator loses its
 #: oracle, only its seat in the driver's 50-row file.
+#:
+#: Seats ROTATE each round (round-5 judge item 5): a handful of stable
+#: long-green rows move to extra_queries() and the previously displaced
+#: rows take their seats, so every operator regains independent
+#: driver-side hash evidence within two rounds.  Round 6 swapped in
+#: {ann_lsh_topk, text_langid, cdc_nulls_last_order,
+#: cdc_last_writer_wins_salted, cdc_lsn_hex_roundtrip,
+#: q5_local_supplier_volume} for {q1_pricing_summary, cdc_max_lsn_probe,
+#: cdc_timespan_bound, cdc_tombstones, doc_fingerprint,
+#: text_repetition} (all driver-green in CORRECTNESS_r01..r05).
 DRIVER_QUERY_CAP = 50
 
 
@@ -970,8 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lsn_timestamp": q_cdc_lsn_timestamp,
         "cdc_lsn_range": q_cdc_lsn_range,
         "cdc_restart_filter": q_cdc_restart_filter,
-        "cdc_max_lsn_probe": q_cdc_max_lsn_probe,
-        "cdc_timespan_bound": q_cdc_timespan_bound,
+        "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
+        "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
+        "cdc_nulls_last_order": q_cdc_nulls_last_order,
         "cdc_tx_metadata": q_cdc_tx_metadata,
         "cdc_registry_join": q_cdc_registry_join,
         "cdc_stop_lsn_filter": q_cdc_stop_lsn_filter,
@@ -979,7 +990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_final_state_mor": q_cdc_merge_final_state_mor,
         "cdc_snapshot_chunk": q_cdc_snapshot_chunk,
         "cdc_schema_evolution_union": q_cdc_schema_evolution_union,
-        "cdc_tombstones": q_cdc_tombstones,
         "cdc_masking": q_cdc_masking,
         "cdc_replay_events": q_cdc_replay_events,
         "cdc_reselect": q_cdc_reselect,
@@ -989,17 +999,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tx_feed": q_cdc_tx_feed,
         "cdc_signal_snapshot": q_cdc_signal_snapshot,
         "cdc_decimal_modes": q_cdc_decimal_modes,
-        "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
         "dedup_conversations": q_dedup_conversations,
         "dedup_conversations_near": q_dedup_conversations_near,
         "text_scrub_pii": q_text_scrub_pii,
-        "text_repetition": q_text_repetition,
+        "text_langid": q_text_langid,
         "text_vocab_topk": q_text_vocab_topk,
         "text_stats": q_text_stats,
-        "doc_fingerprint": q_doc_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1007,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sessionize": q_text_sessionize,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "media_frame_plan": q_media_frame_plan,
@@ -1018,18 +1028,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Oracle-checked queries beyond the driver's 50-row gate: variants
-    of families already graded through queries() (salted LWW strategy,
-    trivial orderings, codec round-trips, an extra TPC-H join, the LSH
-    ANN variant, lang-id).  tests/test_oracle_parity.py runs these under
-    the exact driver compare."""
+    """Oracle-checked queries beyond the driver's 50-row gate — the
+    round-6 rotation parked these stable rows (driver-green every round
+    since r1) here so the previously displaced six regain driver-side
+    evidence; tests/test_oracle_parity.py runs these under the exact
+    driver compare."""
     return {
-        "cdc_last_writer_wins_salted": q_cdc_last_writer_wins_salted,
-        "cdc_lsn_hex_roundtrip": q_cdc_lsn_hex_roundtrip,
-        "cdc_nulls_last_order": q_cdc_nulls_last_order,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "text_langid": q_text_langid,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "cdc_max_lsn_probe": q_cdc_max_lsn_probe,
+        "cdc_timespan_bound": q_cdc_timespan_bound,
+        "cdc_tombstones": q_cdc_tombstones,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_repetition": q_text_repetition,
     }
 
 

@@ -9,9 +9,16 @@ classify/dedup/MERGE, and timed to final lake-table state.
 Also times the headline operator queries from ``__spark_entry__`` on the
 driver-provided parquet tables.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": events_per_sec, "unit": "events/sec",
-   "queries": {name: sec, ...}, "sf": ...}
+Output contract (round-6 fix for two rounds of ``parsed: null``
+artifacts — the previous single detail-laden JSON line overflowed the
+driver's stdout capture window and arrived head-truncated):
+
+* the FULL detail (every sample, every pass, every scale point) is
+  written to ``BENCH_DETAIL.json`` next to this file;
+* stdout ends with ONE compact JSON line (≲1.5 KB) carrying the
+  headline value, per-query floors, per-scale-point warm/cold floors,
+  the 8×-corpus floors, and the streaming-path cell — everything the
+  grader needs, small enough to always parse.
 """
 
 from __future__ import annotations
@@ -23,7 +30,8 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -71,6 +79,15 @@ SCALE_MULTS = [
 #: regression indistinguishable from noise).
 N_WARM = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3")))
 
+#: (cold, warm) replay pairs at the LARGEST scale point — the floors
+#: protocol (SCALING.json methodology: repeat passes, floor of minima,
+#: all samples recorded) applied to the point whose single-sample cells
+#: swung 404k-1,099k events/s across rounds on this noisy shared host.
+#: Smaller points keep 1 pair (cheap enough that their two samples were
+#: never in dispute).
+N_CDC_PAIRS_LARGEST = max(
+    1, int(os.environ.get("SPARK_GRAFT_CDC_PAIRS_LARGEST", "2")))
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -106,8 +123,15 @@ def build_spark(cpus: int) -> SparkSession:
 
 
 def bench_cdc_replay(spark: SparkSession, n_ops: int, work_dir: str,
-                     n_batches: int = 4) -> dict:
-    """Generate → snapshot-load → replay; returns events/sec and detail."""
+                     n_batches: int = 4, n_pairs: int = 1) -> dict:
+    """Generate → snapshot-load → replay; returns events/sec and detail.
+
+    Runs ``n_pairs`` (cold, warm) replay pairs over the same generated
+    binlog (every replay gets a fresh target + checkpoint; "cold" is the
+    first replay of its pair).  All samples are recorded; the floors are
+    the best events/s per tag — the machine's capability bounded from
+    below, separable from this host's noisy-neighbor bursts.
+    """
     from debezium_connector_db2_spark.lake import LakeTable
     from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
     from debezium_connector_db2_spark.sources.binlog import BinlogSource
@@ -148,32 +172,109 @@ def bench_cdc_replay(spark: SparkSession, n_ops: int, work_dir: str,
         t0 = time.time()
         batches = eng.run_available()
         replay_sec = time.time() - t0
-        return {
+        out = {
+            "tag": tag,
             "snapshot_sec": round(snap_sec, 2),
             "replay_sec": round(replay_sec, 2),
             "events_per_sec": round(n_events / replay_sec, 1),
             "n_batches": len(batches),
             "final_rows": target.read().count(),
         }
+        shutil.rmtree(os.path.join(work_dir, f"target-{tag}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(work_dir, f"ckpt-{tag}"),
+                      ignore_errors=True)
+        return out
 
-    # cold pass pays JVM/codegen warmup; the warm pass is the steady-state
-    # throughput a long-running ingest actually sustains (both reported)
-    cold = one_replay("cold")
-    warm = one_replay("warm")
+    samples = []
+    for p in range(n_pairs):
+        samples.append(one_replay(f"cold{p}"))
+        samples.append(one_replay(f"warm{p}"))
+    colds = samples[0::2]
+    warms = samples[1::2]
+    cold, warm = colds[0], warms[0]
     return {
         "n_change_events": n_events,
         "gen_sec": round(gen_sec, 2),
         "snapshot_sec": warm["snapshot_sec"],
         "replay_sec": warm["replay_sec"],
         "events_per_sec": warm["events_per_sec"],
-        # min-of-2 floor: either pass can be hit by a host noise burst;
-        # the faster one bounds the machine's true capability from below
-        "best_events_per_sec": max(warm["events_per_sec"],
-                                   cold["events_per_sec"]),
+        "best_events_per_sec": max(s["events_per_sec"] for s in samples),
+        # floors protocol: best events/s per tag across the pairs (the
+        # min replay time bounds capability from below on a noisy host)
+        "warm_floor_eps": max(s["events_per_sec"] for s in warms),
+        "cold_floor_eps": max(s["events_per_sec"] for s in colds),
+        "n_pairs": n_pairs,
+        "samples": [{"tag": s["tag"], "replay_sec": s["replay_sec"],
+                     "events_per_sec": s["events_per_sec"]}
+                    for s in samples],
         "n_batches": warm["n_batches"],
         "final_rows": warm["final_rows"],
         "cold_replay_sec": cold["replay_sec"],
         "cold_events_per_sec": cold["events_per_sec"],
+    }
+
+
+def bench_streaming(spark: SparkSession, n_ops: int, work_dir: str,
+                    n_triggers: int = 4) -> dict:
+    """The Structured Streaming path (stream.py's real StreamingQuery,
+    foreachBatch MERGE into a versioned table) at the 1x point — a
+    10^10-event deployment runs THIS loop, so its throughput including
+    trigger/checkpoint overhead is a graded cell, not just a pytest.
+    Cold + warm passes; events/s over the whole availableNow drain."""
+    from debezium_connector_db2_spark.lake import LakeTable
+    from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
+    from debezium_connector_db2_spark.sources.binlog import BinlogSource
+    from debezium_connector_db2_spark.sources.generator import (
+        generate_binlog,
+        generate_snapshot,
+    )
+    from debezium_connector_db2_spark.streaming.stream import StreamingCdc
+
+    n_convs = max(n_ops // 200, 100)
+    n_lsns = n_ops // 8
+    snap = generate_snapshot(spark, n_convs=n_convs, turns_per_conv=20, seed=42)
+    binlog = generate_binlog(
+        spark, n_ops=n_ops, n_convs=n_convs, turns_per_conv=20, seed=42,
+        avg_tx_size=8, zipf_s=2.0,
+    )
+    bl_dir = os.path.join(work_dir, "sbinlog")
+    src = BinlogSource(spark, bl_dir, bucket_size=max(n_lsns // 64, 1))
+    src.write(binlog)
+    n_events = src.read().count()
+    n_files = sum(1 for _r, _d, fs in os.walk(bl_dir)
+                  for f in fs if f.endswith(".parquet"))
+    per_trigger = max(n_files // n_triggers, 1)
+
+    def one(tag: str) -> dict:
+        target = LakeTable.create(
+            spark, os.path.join(work_dir, f"st-{tag}"), TRANSCRIPT_SCHEMA,
+            bucket_by="conv_id", n_buckets=max(CPUS * 2, 16),
+            versioned=True,
+        )
+        target.overwrite(snap, batch_id="snapshot")
+        s = StreamingCdc(spark, bl_dir, target,
+                         os.path.join(work_dir, f"sck-{tag}"),
+                         max_files_per_trigger=per_trigger)
+        t0 = time.time()
+        s.run_available()
+        sec = time.time() - t0
+        rows = target.read().count()
+        shutil.rmtree(os.path.join(work_dir, f"st-{tag}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(work_dir, f"sck-{tag}"), ignore_errors=True)
+        return {"tag": tag, "sec": round(sec, 2),
+                "events_per_sec": round(n_events / sec, 1),
+                "final_rows": rows}
+
+    cold = one("cold")
+    warm = one("warm")
+    return {
+        "n_change_events": n_events,
+        "n_files": n_files,
+        "max_files_per_trigger": per_trigger,
+        "cold": cold,
+        "warm": warm,
+        "events_per_sec": warm["events_per_sec"],
     }
 
 
@@ -184,7 +285,9 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
     steady-state separable from noisy-neighbor bursts."""
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    # queries() seats rotate per round; the bench headline set is stable,
+    # so look a query up in either the gate or the parked extras
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     passes = [{} for _ in range(1 + N_WARM)]
     for out in passes:
         for name in HEADLINE:
@@ -253,13 +356,14 @@ def _build_scaled_corpus(spark: SparkSession, sf_dir: str, work_dir: str,
 def bench_scaled_queries(spark: SparkSession, sf_dir: str,
                          work_dir: str) -> dict:
     """Time SCALED_QUERIES on the mult× corpus (same cold + warm-floor
-    protocol as bench_queries) so each round records the dedup/ANN
-    scaling curve: floor(sf0.1) vs floor(mult × sf0.1)."""
+    protocol as bench_queries, N_WARM_SCALED warm passes) so each round
+    records the dedup/ANN scaling curve: floor(sf0.1) vs
+    floor(mult × sf0.1)."""
     import __spark_entry__ as entrymod
 
     scaled_dir, n_docs, n_vecs = _build_scaled_corpus(
         spark, sf_dir, work_dir, DOC_SCALE_MULT)
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     passes = [{} for _ in range(1 + N_WARM_SCALED)]
     for out in passes:
         for name in SCALED_QUERIES:
@@ -288,18 +392,26 @@ def main():
     try:
         scale_points = []
         cdc = None
+        largest = max(SCALE_MULTS)
         for mult in SCALE_MULTS:
             d = os.path.join(work, f"x{mult:g}")
             os.makedirs(d, exist_ok=True)
-            point = bench_cdc_replay(spark, int(n_ops * mult), d)
+            pairs = N_CDC_PAIRS_LARGEST if mult == largest else 1
+            point = bench_cdc_replay(spark, int(n_ops * mult), d,
+                                     n_pairs=pairs)
             point["ops_multiple"] = mult
             scale_points.append(point)
             if cdc is None:
                 cdc = point         # 1x = the round-comparable headline
             shutil.rmtree(d, ignore_errors=True)
+        sd = os.path.join(work, "stream")
+        os.makedirs(sd, exist_ok=True)
+        streaming = bench_streaming(spark, n_ops, sd)
+        shutil.rmtree(sd, ignore_errors=True)
         queries, queries_warm, queries_floor = bench_queries(spark, SF_DIR)
         queries_scaled = bench_scaled_queries(spark, SF_DIR, work)
-        result = {
+
+        detail = {
             "metric": "end-to-end change-events/sec applied (snapshot + "
                       "micro-batched replay to final lake-table state)",
             "value": cdc["events_per_sec"],
@@ -308,13 +420,48 @@ def main():
             "queries_warm": queries_warm,
             "queries_floor": queries_floor,
             "queries_scaled": queries_scaled,
-            "query_passes": {"cold": 1, "warm": N_WARM},
+            "query_passes": {"cold": 1, "warm": N_WARM,
+                             "warm_scaled": N_WARM_SCALED},
             "sf": sf,
             "cpus": CPUS,
             "cdc_detail": cdc,
             "scale_points": scale_points,
+            "cdc_streaming": streaming,
         }
-        print(json.dumps(result))
+        detail_path = os.path.join(HERE, "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+
+        # ONE compact final line — everything the grader needs, small
+        # enough that the driver's stdout capture always parses it.
+        compact = {
+            "metric": "end-to-end change-events/sec applied",
+            "value": cdc["events_per_sec"],
+            "unit": "events/sec",
+            "sf": sf,
+            "cpus": CPUS,
+            "queries": queries_floor,
+            "scale": [
+                {"x": p["ops_multiple"],
+                 "n": p["n_change_events"],
+                 "warm_floor_eps": p["warm_floor_eps"],
+                 "cold_floor_eps": p["cold_floor_eps"],
+                 "pairs": p["n_pairs"]}
+                for p in scale_points
+            ],
+            "scaled_corpus_floor": {
+                "mult": queries_scaled["mult"],
+                **queries_scaled["floor"],
+            },
+            "streaming_eps": streaming["events_per_sec"],
+            "passes": {"cold": 1, "warm": N_WARM,
+                       "warm_scaled": N_WARM_SCALED,
+                       "cdc_pairs_largest": N_CDC_PAIRS_LARGEST},
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        assert len(line) < 2048, f"compact line {len(line)}B breaks the contract"
+        print(line)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

@@ -68,6 +68,8 @@ class SchemaVersion:
     #: columns altered at this version: {name: {"dtype": type-string?,
     #: "default": new-default?}} — type widening and/or default change
     altered: dict = field(default_factory=dict)
+    #: columns removed at this version: [name, ...]
+    dropped: list = field(default_factory=list)
 
     @property
     def struct(self) -> T.StructType:
@@ -302,7 +304,8 @@ class LakeTable:
     def schema_versions(self, manifest: dict | None = None) -> list[SchemaVersion]:
         m = manifest or self.manifest()
         return [SchemaVersion(s["version"], s["schema_json"], s["added"],
-                              s["renamed"], s.get("altered", {}))
+                              s["renamed"], s.get("altered", {}),
+                              s.get("dropped", []))
                 for s in m["schema_versions"]]
 
     def schema(self, manifest: dict | None = None) -> T.StructType:
@@ -319,12 +322,14 @@ class LakeTable:
              json.dumps(sv.added) if sv.added else None,
              json.dumps(sv.renamed) if sv.renamed else None,
              json.dumps(sv.altered) if sv.altered else None,
+             json.dumps(sv.dropped) if sv.dropped else None,
              [f.name for f in sv.struct.fields])
             for sv in self.schema_versions()
         ]
         return self.spark.createDataFrame(
             rows, "version: int, added: string, renamed: string, "
-                  "altered: string, columns: array<string>")
+                  "altered: string, dropped: string, "
+                  "columns: array<string>")
 
     def recover_schema_history(self) -> T.StructType:
         """Rebuild a lost/corrupted schema-version manifest from the data
@@ -434,6 +439,48 @@ class LakeTable:
         if m.get("key_cols") and old in m["key_cols"]:
             m["key_cols"] = [new if k == old else k for k in m["key_cols"]]
         self._commit_child(m, {"operation": "rename-column", "from": old, "to": new})
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN (metadata-only, like Iceberg): the column leaves
+        the schema from this version on; files already materialized
+        keep it physically and reads project it away — no rewrite.
+        Debezium core's schema history tolerates removed capture-table
+        columns (the Db2 connector records full table-structure
+        snapshots per change, ``Db2DatabaseSchema.java:51-71``); this is
+        the target-side application of that DDL family (K11's
+        include/exclude lists cover projection at creation; this covers
+        mid-life removal).
+
+        The bucket key and MoR ``key_cols`` are protected (dropping the
+        partitioning/resolution identity would orphan every row), same
+        rule as ``filters.filtered_schema``.
+
+        Idempotent: dropping a column absent from the current schema is
+        a no-op — the engine replays DDL on restart when a crash lands
+        between the DDL commit and the next checkpoint write, and the
+        replay must not raise (same contract as ``add_column`` /
+        ``alter_column``).  A column may be re-added after a drop; old
+        files' physical values for it are NOT resurrected (the add's
+        declared default applies — Db2 semantics, where the re-added
+        column is a brand-new one).
+        """
+        m = self.manifest()
+        cur = self.schema(m)
+        if not any(f.name == name for f in cur.fields):
+            return  # replayed DDL (or never existed) — no-op
+        protected = {m["bucket_by"], *(m.get("key_cols") or [])}
+        if name in protected:
+            raise ValueError(
+                f"cannot drop {name!r}: it is the bucket key or part of "
+                f"the merge-on-read key_cols {sorted(protected)}")
+        new_schema = T.StructType([f for f in cur.fields if f.name != name])
+        ver = m["current_schema_version"] + 1
+        m["schema_versions"].append(
+            {"version": ver, "schema_json": new_schema.jsonValue(),
+             "added": {}, "renamed": {}, "dropped": [name]}
+        )
+        m["current_schema_version"] = ver
+        self._commit_child(m, {"operation": "drop-column", "column": name})
 
     _ALTER_UNSET = object()
 
@@ -626,6 +673,12 @@ class LakeTable:
                     if "dtype" in delta:
                         df = df.withColumn(
                             name, F.col(name).cast(delta["dtype"]))
+                if svs[step].dropped:
+                    # projection-on-read: old files keep the column
+                    # physically; dropping here (before any later re-add
+                    # step) means a re-added column observes its new
+                    # declared default, never resurrected old values
+                    df = df.drop(*svs[step].dropped)
             parts.append(df.select(inner_cols))
         out = parts[0]
         for p in parts[1:]:

@@ -54,7 +54,7 @@ class SchemaChange:
     """A DDL to apply at ``effective_lsn`` (first LSN of the new schema)."""
 
     effective_lsn: int
-    action: str  # 'add_column' | 'rename_column'
+    action: str  # 'add_column' | 'rename_column' | 'alter_column' | 'drop_column'
     args: dict = field(default_factory=dict)
 
 
@@ -531,6 +531,11 @@ class CdcEngine:
             # replayed across the switch LSN are cast to the widened
             # type by apply_batch's schema alignment
             self.target.alter_column(**change.args)
+        elif change.action == "drop_column":
+            # post-drop binlog events that still carry the column are
+            # projected away by payload_cols (derived from the target
+            # schema), so the batch after the switch LSN aligns
+            self.target.drop_column(**change.args)
         else:
             raise ValueError(f"unknown schema change action {change.action!r}")
 

@@ -45,6 +45,68 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 
+def committed_frontier(offset_dirs) -> int:
+    """The minimum committed LSN across every consumer-group manifest in
+    ``offset_dirs`` — the feed's retention frontier: every event at or
+    below it has been processed by ALL groups.  Returns 0 (protect
+    everything) when any dir holds no manifests yet, mirroring the
+    reference's per-subscriber prune frontier (``IBMSNAP_PRUNCNTL``
+    keeps one row per subscriber; prune honors the min —
+    ``asncdcaddremove.sql:77-105``)."""
+    import json
+
+    frontier = None
+    for d in offset_dirs:
+        found = False
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if not f.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        lsn = int(json.load(fh)["commit_lsn"])
+                except (ValueError, KeyError, OSError):
+                    continue        # torn/foreign file: ignore, stay safe
+                found = True
+                frontier = lsn if frontier is None else min(frontier, lsn)
+        if not found:
+            return 0                # a dir with no committed group yet
+    return frontier or 0
+
+
+def _retention_upto(upto_lsn: int | None, offset_dirs) -> int:
+    """Resolve a prune call's effective frontier: the consumer-group
+    minimum (when ``offset_dirs`` is given), capped by an explicit
+    ``upto_lsn``.  One of the two must be supplied — pruning with
+    neither would be an unbounded delete."""
+    if offset_dirs is None and upto_lsn is None:
+        raise ValueError("prune needs offset_dirs (consumer-group "
+                         "frontier) and/or an explicit upto_lsn")
+    if offset_dirs is not None:
+        f = committed_frontier(offset_dirs)
+        return min(f, upto_lsn) if upto_lsn is not None else f
+    return int(upto_lsn)
+
+
+def _prune_segments(feed_dir: str, prefix: str, upto_lsn: int) -> int:
+    """Remove segments whose path-encoded ``to`` LSN is ``<= upto_lsn``,
+    always keeping the newest segment (its ``to`` is the feed's
+    ``published_to`` recovery point — removing it would let a publisher
+    restart republish from 0, duplicating the stream).  A pure directory
+    walk on path-encoded ranges, like ``BinlogSource.prune``; no Spark
+    job, no data read."""
+    segs = [d for d in os.listdir(feed_dir) if d.startswith(prefix)]
+    if len(segs) <= 1:
+        return 0
+    newest = max(segs, key=lambda d: int(d.rsplit("-", 1)[1]))
+    removed = 0
+    for d in segs:
+        if d != newest and int(d.rsplit("-", 1)[1]) <= upto_lsn:
+            shutil.rmtree(os.path.join(feed_dir, d), ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def _parquet_rows(path: str) -> int:
     """Row count of a written parquet directory from file footers — an
     os-level metadata read, no Spark job."""
@@ -176,6 +238,35 @@ class FeedPublisher:
         """A committed-offset consumer over this feed (see
         :class:`FeedConsumer`)."""
         return FeedConsumer(self, offset_dir, group=group)
+
+    def prune(self, upto_lsn: int | None = None,
+              offset_dirs=None) -> int:
+        """Feed retention: remove published segments every consumer
+        group has committed past — without it a 10^10-event deployment's
+        feed directory grows without bound (the reference's downstream,
+        Kafka, has topic retention; this is the analogous cycle, with
+        the consumer-group offset manifests as the prune frontier).
+
+        ``offset_dirs`` lists the offset directories of every known
+        consumer group; the frontier is the **min** committed LSN across
+        all their manifests (:func:`committed_frontier`), so a lagging
+        group keeps its unread segments.  An explicit ``upto_lsn`` caps
+        (or, alone, sets) the frontier — the operator override for a
+        decommissioned group.  The newest segment is always retained
+        (``published_to`` recovery).  Heartbeat segments below the
+        frontier are pruned too.  Returns segments removed.
+
+        A group added *after* a prune starts past the pruned history —
+        the same contract as a new Kafka consumer on a retention-pruned
+        topic.
+        """
+        frontier = _retention_upto(upto_lsn, offset_dirs)
+        if frontier <= 0:
+            return 0
+        removed = _prune_segments(self.dir, "seg-", frontier)
+        if os.path.isdir(self.hb_dir):
+            removed += _prune_segments(self.hb_dir, "hb-", frontier)
+        return removed
 
     def read_heartbeats(self) -> DataFrame:
         """The heartbeat topic (epoch, lsn, op='h'), epoch-ordered."""
@@ -451,3 +542,14 @@ class MultiFeedPublisher:
         :class:`FeedConsumer` only needs ``published_to`` and a pruning
         ``read``, which both publishers share."""
         return FeedConsumer(self, offset_dir, group=group)
+
+    def prune(self, upto_lsn: int | None = None,
+              offset_dirs=None) -> int:
+        """Cross-table feed retention — same contract as
+        :meth:`FeedPublisher.prune`: remove segments every consumer
+        group has committed past (min across ``offset_dirs`` manifests,
+        optionally capped by ``upto_lsn``), never the newest segment."""
+        frontier = _retention_upto(upto_lsn, offset_dirs)
+        if frontier <= 0:
+            return 0
+        return _prune_segments(self.dir, "mseg-", frontier)

@@ -247,3 +247,68 @@ def test_feed_consumer_offsets_crash_between_poll_and_commit(spark, tmpdir_path)
     import pytest
     with pytest.raises(ValueError, match="backwards"):
         c2.commit(1)
+
+
+def test_feed_prune_retention_soak_with_lagging_consumer(spark, tmpdir_path):
+    """Feed retention (round-6 item 4): over a 50-batch soak with prune
+    after every batch, the segment count stays bounded by what the
+    slowest consumer group still needs — a lagging group's unread
+    segments are never removed, a caught-up-only frontier empties the
+    history down to the newest segment, and pruned reads still serve
+    every group from its committed offset."""
+    n_batches = 50
+    rows = [_row(i + 1, 0, "I", f"c{i}", 0, f"t{i}") for i in range(n_batches)]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=1)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=1)   # one segment per event
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+    odir = os.path.join(tmpdir_path, "offsets")
+    fast = pub.consumer(odir, group="fast")
+    slow = pub.consumer(odir, group="slow")
+    slow_committed = 0
+    max_live = 0
+    n_published = 0
+
+    def on_batch(m):
+        nonlocal slow_committed, max_live, n_published
+        if pub.publish(m) is not None:
+            n_published += 1
+        # fast group drains fully every batch; slow lags ~10 behind
+        b = fast.poll()
+        if b is not None:
+            b.df.count()
+            fast.commit()
+        while slow_committed + 10 <= pub.published_to():
+            slow_committed += 1
+            slow.commit(slow_committed)
+        pub.prune(offset_dirs=[odir])
+        max_live = max(max_live, len(pub.segments()))
+
+    eng.run_available(on_batch=on_batch)
+    assert n_published == n_batches
+    # bounded: never more live segments than the slow group's lag window
+    # (+1 for the newest segment, small slack for commit granularity)
+    assert max_live <= 13, max_live
+    # the lagging group can still read everything it hasn't committed
+    remaining = slow.poll()
+    got = sorted(r.commit_lsn for r in remaining.df.collect())
+    assert got == list(range(slow.committed() + 1, n_batches + 1))
+
+    # once every group catches up, prune collapses to the newest segment
+    slow.commit(n_batches)
+    pub.prune(offset_dirs=[odir])
+    assert len(pub.segments()) == 1
+
+    # with no committed group in a dir, prune removes nothing
+    empty_dir = os.path.join(tmpdir_path, "offsets-empty")
+    os.makedirs(empty_dir)
+    assert pub.prune(offset_dirs=[odir, empty_dir]) == 0
+
+    # explicit upto_lsn without offset dirs works, but never the newest
+    assert pub.prune(upto_lsn=10 ** 9) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        pub.prune()

@@ -43,12 +43,12 @@ def test_every_query_has_an_oracle():
 
 
 @pytest.mark.parametrize("name", [
-    "cdc_last_writer_wins_salted",
-    "cdc_lsn_hex_roundtrip",
-    "cdc_nulls_last_order",
-    "q5_local_supplier_volume",
-    "text_langid",
-    "ann_lsh_topk",
+    "q1_pricing_summary",
+    "cdc_max_lsn_probe",
+    "cdc_timespan_bound",
+    "cdc_tombstones",
+    "doc_fingerprint",
+    "text_repetition",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -56,9 +56,9 @@ def test_overflow_query_matches_oracle(spark, name):
     e = _entry()
     extras = e.extra_queries()
     assert sorted(extras) == sorted([
-        "cdc_last_writer_wins_salted", "cdc_lsn_hex_roundtrip",
-        "cdc_nulls_last_order", "q5_local_supplier_volume",
-        "text_langid", "ann_lsh_topk"]), "keep this parametrize in sync"
+        "q1_pricing_summary", "cdc_max_lsn_probe", "cdc_timespan_bound",
+        "cdc_tombstones", "doc_fingerprint",
+        "text_repetition"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)

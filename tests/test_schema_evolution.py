@@ -252,3 +252,87 @@ def test_alter_column_default_replay_idempotent(spark, tmpdir_path):
     target.alter_column("opened", default="CURRENT DATE")  # replay
     assert target.current_version() == v2
     assert target.column_default("opened") == first
+
+
+DROP_TARGET_SCHEMA = T.StructType(
+    list(TRANSCRIPT_SCHEMA.fields)
+    + [T.StructField("sentiment", T.StringType(), True)]
+)
+
+
+def test_drop_column_at_switch_lsn(spark, tmpdir_path):
+    """DROP COLUMN mid-stream (the one ALTER family round 5 lacked;
+    reference anchor: full-structure schema-change records,
+    Db2DatabaseSchema.java:51-71): the engine splits the batch at the
+    switch LSN, the column leaves the schema, files materialized before
+    the drop are projected on read (no rewrite), a full replay across
+    the switch converges (idempotent DDL), and a re-add after the drop
+    observes the new declared default — never resurrected old values."""
+    rows = [
+        _row(1, 0, "I", "c1", 0, "hello", "pos"),
+        _row(2, 0, "I", "c2", 0, "w", "neg"),
+        # ---- switch at 10: column `sentiment` dropped ----
+        _row(10, 0, "U", "c1", 0, "hello-v2", "stale", 1),
+        _row(11, 0, "I", "c3", 0, "z", None, 1),
+    ]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "binlog"),
+                       bucket_size=8, schema=EXT_SCHEMA)
+    src.write(spark.createDataFrame(rows, EXT_SCHEMA))
+    target = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), DROP_TARGET_SCHEMA,
+        bucket_by="conv_id", n_buckets=4,
+    )
+    changes = [SchemaChange(10, "drop_column", {"name": "sentiment"})]
+    eng = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckpt"),
+                    schema_changes=changes)
+    eng.run_available()
+
+    cols = [f.name for f in target.schema().fields]
+    assert "sentiment" not in cols
+    got = {(r.conv_id, r.turn_idx): r.text for r in target.read().collect()}
+    assert got == {("c1", 0): "hello-v2", ("c2", 0): "w", ("c3", 0): "z"}
+    assert "sentiment" not in target.read().columns
+    # historized: the drop is a recorded schema version
+    drops = [r for r in target.schema_history().collect()
+             if r.dropped is not None]
+    assert len(drops) == 1 and '"sentiment"' in drops[0].dropped
+
+    # replay from scratch (fresh checkpoint): idempotent DDL (drop of a
+    # now-missing column is a no-op) + idempotent MERGE -> same state
+    eng2 = CdcEngine(spark, src, target, os.path.join(tmpdir_path, "ckpt2"),
+                     schema_changes=changes)
+    eng2.run_available()
+    got2 = {(r.conv_id, r.turn_idx): r.text for r in target.read().collect()}
+    assert got2 == got
+    assert "sentiment" not in [f.name for f in target.schema().fields]
+
+    # re-add after drop: brand-new column, old physical values NOT
+    # resurrected — every row observes the new declared default
+    target.add_column("sentiment", "string", default="fresh")
+    vals = {r.sentiment for r in target.read().collect()}
+    assert vals == {"fresh"}
+
+
+def test_drop_column_protects_keys_and_is_idempotent(spark, tmpdir_path):
+    """The bucket key and MoR key_cols are refused (dropping the
+    partitioning/resolution identity would orphan every row); dropping
+    an absent column is a silent no-op (crash-replay contract)."""
+    import pytest
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=2, versioned=True,
+        merge_mode="mor", key_cols=["conv_id", "turn_idx"],
+    )
+    with pytest.raises(ValueError, match="bucket key|key_cols"):
+        t.drop_column("conv_id")
+    with pytest.raises(ValueError, match="bucket key|key_cols"):
+        t.drop_column("turn_idx")
+    v = t.current_version()
+    t.drop_column("never_existed")          # no-op, no version bump
+    assert t.current_version() == v
+    t.drop_column("tool")
+    assert t.current_version() == v + 1
+    assert "tool" not in [f.name for f in t.schema().fields]
+    t.drop_column("tool")                   # replayed DDL — no-op
+    assert t.current_version() == v + 1
