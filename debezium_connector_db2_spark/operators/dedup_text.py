@@ -187,7 +187,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
@@ -195,7 +195,9 @@ def ngram_jaccard_pairs(
     6 dp.  ``max_shingle_df`` drops stop-shingles whose posting list would
     explode the candidate join (skew guard; documented loss: pairs similar
     *only* through ultra-common shingles are missed — acceptable for
-    near-dup detection and disabled by passing None).
+    near-dup detection).  Library default is None (uncapped, exact);
+    corpus-scale callers opt in with an explicit cap — same contract as
+    :func:`minhash_lsh_pairs_over`.
     """
     sh = _shingled(df, id_col, text_col, k)
     if max_shingle_df is not None:
@@ -429,7 +431,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> Data
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n_bits: int = 60, max_hamming: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
     drop_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming``.
@@ -445,10 +447,11 @@ def simhash_pairs(
     *genuinely* hot buckets (e.g. thousands of identical boilerplate
     docs): buckets over the cap are excluded from candidate generation,
     which only misses pairs whose *every* agreeing chunk is over-hot.
-    Not a silent cap — pass ``drop_stats={}`` to have the dropped-bucket
-    summary computed (one small aggregation job, result bounded by the
-    number of hot buckets), logged, and filled in; or call
-    ``oversized_chunk_buckets`` for the full list.
+    Library default is None (uncapped, full recall) — corpus-scale
+    callers opt in with an explicit cap and may pass ``drop_stats={}``
+    to have the dropped-bucket summary computed (one small aggregation
+    job, result bounded by the number of hot buckets), logged, and
+    filled in; or call ``oversized_chunk_buckets`` for the full list.
     """
     # The fingerprint table feeds every chunk branch on both sides of the
     # candidate self-join — without a cache the wide sign-sum agg

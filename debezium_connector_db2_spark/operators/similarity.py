@@ -96,7 +96,7 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int = 64, threshold: float = 0.9, n_planes: int = 8,
-    multiprobe_bits: int = 1, max_bucket_size: int | None = 10000,
+    multiprobe_bits: int = 1, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup family.
 

@@ -49,6 +49,8 @@ def test_every_query_has_an_oracle():
     "cdc_tombstones",
     "doc_fingerprint",
     "text_repetition",
+    "text_hash_split",
+    "text_sample_stratified",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -57,8 +59,9 @@ def test_overflow_query_matches_oracle(spark, name):
     extras = e.extra_queries()
     assert sorted(extras) == sorted([
         "q1_pricing_summary", "cdc_max_lsn_probe", "cdc_timespan_bound",
-        "cdc_tombstones", "doc_fingerprint",
-        "text_repetition"]), "keep this parametrize in sync"
+        "cdc_tombstones", "doc_fingerprint", "text_repetition",
+        "text_hash_split",
+        "text_sample_stratified"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
