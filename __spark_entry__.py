@@ -988,6 +988,23 @@ def q_text_sample_stratified(spark, sf_dir):
                              seed=SAMPLING_SEED).select("doc_id", "stratum")
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    training docs sharing >= 2 distinct 3-word shingles with a held-out
+    eval slice (doc_id % 50 == 7 plays the benchmark).  The eval
+    shingle set broadcasts, so the corpus side is probed with no
+    shuffle — the GPT-3/PaLM-style n-gram collision pass."""
+    from debezium_connector_db2_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 7)
+    train = docs.where(F.col("doc_id") % 50 != 7)
+    return contamination_report(train, "doc_id", "text", ev,
+                                k=3, min_hits=2)
+
+
 #: The driver's correctness gate records at most 50 queries per round
 #: (round 4 registered 54 and the last 4 — the media_* family — were
 #: silently dropped from CORRECTNESS_r04.json).  queries() therefore
@@ -1081,6 +1098,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_hash_split": q_text_hash_split,
         "text_sample_stratified": q_text_sample_stratified,
+        "text_decontaminate": q_text_decontaminate,
     }
 
 
@@ -1915,5 +1933,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stratum FROM d
         WHERE {stratified_sample_sql('doc_id', 'stratum', STRATUM_RATES,
                                      0.0, SAMPLING_SEED)}
+    """
+    decon_sh = TX.word_shingles_sql("lower(text)", 3)
+    sql["text_decontaminate"] = f"""
+        WITH ev AS (
+          SELECT DISTINCT unnest({decon_sh}) AS shingle
+          FROM documents WHERE doc_id % 50 = 7),
+        tr AS (
+          SELECT doc_id, unnest({decon_sh}) AS shingle
+          FROM documents WHERE doc_id % 50 <> 7)
+        SELECT doc_id, count(*) AS n_hits
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id HAVING count(*) >= 2
     """
     return sql
