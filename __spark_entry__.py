@@ -1005,6 +1005,23 @@ def q_text_decontaminate(spark, sf_dir):
                                 k=3, min_hits=2)
 
 
+#: Packing parameters shared by the Spark query and its SQL twin.
+PACK_BUDGET, PACK_SHARDS, PACK_SEED = 512, 16, 11
+
+
+def q_text_pack_plan(spark, sf_dir):
+    """Concat-and-chunk packing plan (operators/packing.py): shard /
+    offset / pack / boundary flag per document from one per-shard
+    running token sum — the corpus-to-training-sequence step; the only
+    exchange is the hash partition by shard."""
+    from debezium_connector_db2_spark.operators.packing import pack_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_plan(docs, "doc_id", text_col="text",
+                     budget=PACK_BUDGET, n_shards=PACK_SHARDS,
+                     seed=PACK_SEED)
+
+
 #: The driver's correctness gate records at most 50 queries per round
 #: (round 4 registered 54 and the last 4 — the media_* family — were
 #: silently dropped from CORRECTNESS_r04.json).  queries() therefore
@@ -1099,6 +1116,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_split": q_text_hash_split,
         "text_sample_stratified": q_text_sample_stratified,
         "text_decontaminate": q_text_decontaminate,
+        "text_pack_plan": q_text_pack_plan,
     }
 
 
@@ -1946,4 +1964,9 @@ def oracle_sql() -> dict[str, str]:
         FROM tr JOIN ev USING (shingle)
         GROUP BY doc_id HAVING count(*) >= 2
     """
+    from debezium_connector_db2_spark.operators.packing import pack_plan_sql
+
+    sql["text_pack_plan"] = pack_plan_sql(
+        "documents", "doc_id", text_expr="text",
+        budget=PACK_BUDGET, n_shards=PACK_SHARDS, seed=PACK_SEED)
     return sql
