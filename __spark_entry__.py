@@ -1022,6 +1022,23 @@ def q_text_pack_plan(spark, sf_dir):
                      seed=PACK_SEED)
 
 
+#: Quality-gate parameters shared by the Spark query and its SQL twin
+#: (min_required_hits=1: the synthetic corpus vocabulary carries "the"
+#: but few other Gopher required words, so 1 hit keeps a pass/fail mix).
+QUALITY_MIN_WORDS, QUALITY_MIN_REQ = 50, 1
+
+
+def q_text_quality_gopher(spark, sf_dir):
+    """Gopher-rule quality gate (operators/quality.py): per-document rule
+    measurements + pass verdict as one zero-shuffle codegen'd projection
+    — the standard pre-training corpus filter (Rae et al. 2021 A1.1)."""
+    from debezium_connector_db2_spark.operators.quality import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs, "doc_id", min_words=QUALITY_MIN_WORDS,
+                          min_required_hits=QUALITY_MIN_REQ)
+
+
 #: The driver's correctness gate records at most 50 queries per round
 #: (round 4 registered 54 and the last 4 — the media_* family — were
 #: silently dropped from CORRECTNESS_r04.json).  queries() therefore
@@ -1117,6 +1134,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": q_text_sample_stratified,
         "text_decontaminate": q_text_decontaminate,
         "text_pack_plan": q_text_pack_plan,
+        "text_quality_gopher": q_text_quality_gopher,
     }
 
 
@@ -1969,4 +1987,10 @@ def oracle_sql() -> dict[str, str]:
     sql["text_pack_plan"] = pack_plan_sql(
         "documents", "doc_id", text_expr="text",
         budget=PACK_BUDGET, n_shards=PACK_SHARDS, seed=PACK_SEED)
+    from debezium_connector_db2_spark.operators.quality import (
+        gopher_quality_sql)
+
+    sql["text_quality_gopher"] = gopher_quality_sql(
+        "documents", "doc_id", min_words=QUALITY_MIN_WORDS,
+        min_required_hits=QUALITY_MIN_REQ)
     return sql

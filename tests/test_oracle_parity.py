@@ -53,6 +53,7 @@ def test_every_query_has_an_oracle():
     "text_sample_stratified",
     "text_decontaminate",
     "text_pack_plan",
+    "text_quality_gopher",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -64,7 +65,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "cdc_tombstones", "doc_fingerprint", "text_repetition",
         "text_hash_split", "text_sample_stratified",
         "text_decontaminate",
-        "text_pack_plan"]), "keep this parametrize in sync"
+        "text_pack_plan",
+        "text_quality_gopher"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
