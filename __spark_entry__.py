@@ -1022,6 +1022,25 @@ def q_text_pack_plan(spark, sf_dir):
                      seed=PACK_SEED)
 
 
+#: SemDeDup parameters shared by the Spark query and its SQL twin
+#: (threshold matches dedup_embedding_cosine's 0.4 — the synthetic
+#: corpus' planted near-dup band — giving a keep/drop mix of ~18/500
+#: at sf0.01).
+SEMDEDUP_CELLS, SEMDEDUP_TH, SEMDEDUP_SEED = 8, 0.4, 11
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semdedup): semantic dedup via
+    IVF embedding clusters — rank each cell by centroid cosine, drop an
+    item iff an earlier-ranked cell member is within the threshold.
+    The paraphrase-level dedup family no lexical method covers."""
+    from debezium_connector_db2_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", n_cells=SEMDEDUP_CELLS,
+                    threshold=SEMDEDUP_TH, seed=SEMDEDUP_SEED)
+
+
 #: Quality-gate parameters shared by the Spark query and its SQL twin
 #: (min_required_hits=1: the synthetic corpus vocabulary carries "the"
 #: but few other Gopher required words, so 1 hit keeps a pass/fail mix).
@@ -1135,6 +1154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_pack_plan": q_text_pack_plan,
         "text_quality_gopher": q_text_quality_gopher,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -1993,4 +2013,9 @@ def oracle_sql() -> dict[str, str]:
     sql["text_quality_gopher"] = gopher_quality_sql(
         "documents", "doc_id", min_words=QUALITY_MIN_WORDS,
         min_required_hits=QUALITY_MIN_REQ)
+    from debezium_connector_db2_spark.operators.similarity import semdedup_sql
+
+    sql["dedup_semantic"] = semdedup_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_TH, seed=SEMDEDUP_SEED)
     return sql

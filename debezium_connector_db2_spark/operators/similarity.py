@@ -413,3 +413,140 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def semdedup(
+    items: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_cells: int = 8, threshold: float = 0.95, seed: int = 11,
+    round_to: int = 4, refine_iters: int = 0,
+    max_literal_centroid_terms: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via embedding clusters — the sixth dedup family, the
+    one that catches paraphrases no lexical method sees.
+
+    Method (the paper's, made deterministic): cluster the corpus with
+    the IVF coarse quantizer (:func:`ivf_centroids` — same assignment
+    rule as the search path), rank each cell's members by cosine to
+    their centroid (ties to the smaller id), and drop an item iff some
+    *earlier-ranked* member of its cell is within ``threshold`` cosine
+    of it.  Keep/drop is emitted as a flag (with the cell and centroid
+    cosine) rather than filtering, so a pipeline can re-threshold
+    offline.
+
+    Scale shape: centroids are a driver-side bounded artifact shipped
+    to executors (literal plan terms below
+    ``max_literal_centroid_terms``, broadcast join above — exactly
+    :func:`ivf_topk`'s two strategies); assignment is one map-side
+    pass; the only corpus shuffles are the hash partition by cell for
+    the window rank and the cell equi-join for in-cell pairs.  In-cell
+    pairwise cost is the method's intrinsic O(n_cells x (n/n_cells)^2)
+    — at 10^10 vectors you raise ``n_cells`` (the paper runs ~100k
+    clusters), which *reduces* per-cell work; nothing here is all-pairs
+    across cells.
+
+    Output: ``(id_col, cell, cell_cos, keep)`` — one row per input row.
+    """
+    cents = ivf_centroids(items, id_col, vec_col, n_cells, seed,
+                          refine_iters=refine_iters)
+    dim = len(cents[0][1]) if cents else 0
+
+    it = items.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).alias("ivec"))
+    if len(cents) * dim <= max_literal_centroid_terms:
+        best = F.array_max(_cell_scores(F.col("ivec"), cents))
+        it = (it.withColumn("__best", best)
+              .select("item_id", "ivec",
+                      (-F.col("__best.ncid")).alias("cell"),
+                      (F.col("__best.s") / _norm(F.col("ivec")))
+                      .alias("ccos")))
+    else:
+        spark = items.sparkSession
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in comps], float(cnorm))
+             for cid, comps, cnorm in cents],
+            "cent_id: long, cvec: array<double>, cnorm: double")
+        score = (_dot(F.col("ivec"), F.col("cvec")) / F.col("cnorm"))
+        it = (it.join(F.broadcast(cent_df))
+              .groupBy("item_id")
+              .agg(F.any_value("ivec").alias("ivec"),
+                   F.max(F.struct(score.alias("s"),
+                                  (-F.col("cent_id")).alias("ncid")))
+                   .alias("__best"))
+              .select("item_id", "ivec",
+                      (-F.col("__best.ncid")).alias("cell"),
+                      (F.col("__best.s") / _norm(F.col("ivec")))
+                      .alias("ccos")))
+
+    w = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc("item_id"))
+    ranked = it.withColumn("rnk", F.row_number().over(w))
+    a = ranked.select(F.col("cell"), F.col("ivec").alias("va"),
+                      F.col("rnk").alias("rnk_a"))
+    b = ranked.select(F.col("cell"), F.col("item_id").alias("dropped"),
+                      F.col("ivec").alias("vb"), F.col("rnk").alias("rnk_b"))
+    drops = (a.join(b, "cell")
+             .where(F.col("rnk_a") < F.col("rnk_b"))
+             .where(F.round(cosine_expr(F.col("va"), F.col("vb")),
+                            round_to) >= threshold)
+             .select("dropped").distinct())
+    return (ranked
+            .join(drops, ranked["item_id"] == drops["dropped"], "left")
+            .select(F.col("item_id").alias(id_col), "cell",
+                    F.round(F.col("ccos"), round_to).alias("cell_cos"),
+                    F.col("dropped").isNull().alias("keep")))
+
+
+def semdedup_sql(
+    table: str, id_expr: str = "vec_id", vec_expr: str = "embedding",
+    dim: int = 64, n_cells: int = 8, threshold: float = 0.95,
+    seed: int = 11, round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`semdedup` (``refine_iters=0``), including
+    centroid selection, nearest-cell assignment, centroid-cosine rank
+    and the earlier-ranked-neighbor drop rule — certifying the cluster
+    plan, not a brute-force shortcut."""
+    from debezium_connector_db2_spark.functions.hashing import h60_sql
+
+    h = h60_sql(f"'cent{seed}:' || CAST({id_expr} AS VARCHAR)")
+    cnorm = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+             f" i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))")
+    dot_c = (f"list_sum(list_transform(range(1, {dim + 1}),"
+             f" i -> CAST(ivec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))")
+    vnorm = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+             f" i -> CAST(ivec[i] AS DOUBLE) * CAST(ivec[i] AS DOUBLE))))")
+    cos_ab = (f"list_sum(list_transform(range(1, {dim + 1}),"
+              f" i -> CAST(a.ivec[i] AS DOUBLE) * CAST(b.ivec[i] AS DOUBLE)))"
+              f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+              f" i -> CAST(a.ivec[i] AS DOUBLE) * CAST(a.ivec[i] AS DOUBLE))))"
+              f" * sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+              f" i -> CAST(b.ivec[i] AS DOUBLE) * CAST(b.ivec[i] AS DOUBLE)))))")
+    return f"""
+        WITH cent0 AS (
+          SELECT {id_expr} AS cent_id, {vec_expr} AS cvec
+          FROM {table}
+          ORDER BY {h}, {id_expr} LIMIT {n_cells}),
+        cent AS (SELECT cent_id, cvec, {cnorm} AS cnorm FROM cent0),
+        it0 AS (SELECT {id_expr} AS item_id, {vec_expr} AS ivec
+                FROM {table}),
+        iass AS (
+          SELECT item_id, ivec, cent_id, {dot_c} / cnorm AS s
+          FROM it0 CROSS JOIN cent),
+        it AS (
+          SELECT item_id, ivec, cent_id AS cell, s / {vnorm} AS ccos
+          FROM iass
+          QUALIFY row_number() OVER (PARTITION BY item_id
+                                     ORDER BY s DESC, cent_id ASC) = 1),
+        r AS (
+          SELECT item_id, ivec, cell, ccos,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY ccos DESC, item_id ASC) AS rnk
+          FROM it),
+        drops AS (
+          SELECT DISTINCT b.item_id AS dropped
+          FROM r a JOIN r b ON a.cell = b.cell AND a.rnk < b.rnk
+          WHERE round({cos_ab}, {round_to}) >= {threshold})
+        SELECT r.item_id AS {id_expr}, r.cell,
+               round(r.ccos, {round_to}) AS cell_cos,
+               (drops.dropped IS NULL) AS keep
+        FROM r LEFT JOIN drops ON r.item_id = drops.dropped
+    """

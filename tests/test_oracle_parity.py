@@ -54,6 +54,7 @@ def test_every_query_has_an_oracle():
     "text_decontaminate",
     "text_pack_plan",
     "text_quality_gopher",
+    "dedup_semantic",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -66,7 +67,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "text_hash_split", "text_sample_stratified",
         "text_decontaminate",
         "text_pack_plan",
-        "text_quality_gopher"]), "keep this parametrize in sync"
+        "text_quality_gopher",
+        "dedup_semantic"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
