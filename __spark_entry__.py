@@ -1022,6 +1022,23 @@ def q_text_pack_plan(spark, sf_dir):
                      seed=PACK_SEED)
 
 
+#: Chunking parameters shared by the Spark query and its SQL twin
+#: (chunk 32 / overlap 8 : the synthetic docs run 10-99 whitespace
+#: tokens, so most docs produce 1-4 chunks).
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q_text_chunk_plan(spark, sf_dir):
+    """Overlapping-window chunk plan with sliced chunk text
+    (operators/chunking.py): the corpus→retrieval/context-window step;
+    pure per-row sequence+explode, zero shuffle."""
+    from debezium_connector_db2_spark.operators.chunking import chunk_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_plan(docs, "doc_id", chunk_tokens=CHUNK_TOKENS,
+                      overlap_tokens=CHUNK_OVERLAP, with_text=True)
+
+
 #: SemDeDup parameters shared by the Spark query and its SQL twin
 #: (threshold matches dedup_embedding_cosine's 0.4 — the synthetic
 #: corpus' planted near-dup band — giving a keep/drop mix of ~18/500
@@ -1155,6 +1172,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_plan": q_text_pack_plan,
         "text_quality_gopher": q_text_quality_gopher,
         "dedup_semantic": q_dedup_semantic,
+        "text_chunk_plan": q_text_chunk_plan,
     }
 
 
@@ -2018,4 +2036,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_semantic"] = semdedup_sql(
         "embeddings", "vec_id", "embedding", dim=64,
         n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_TH, seed=SEMDEDUP_SEED)
+    from debezium_connector_db2_spark.operators.chunking import chunk_plan_sql
+
+    sql["text_chunk_plan"] = chunk_plan_sql(
+        "documents", "doc_id", chunk_tokens=CHUNK_TOKENS,
+        overlap_tokens=CHUNK_OVERLAP, with_text=True)
     return sql
