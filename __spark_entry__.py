@@ -1022,6 +1022,26 @@ def q_text_pack_plan(spark, sf_dir):
                      seed=PACK_SEED)
 
 
+#: Mixture targets shared by the Spark query and its SQL twin: rebalance
+#: the synthetic corpus' dominant-English skew (218/500 docs at sf0.01)
+#: toward an even-ish five-language mixture over the n_chars token proxy.
+MIXTURE_TARGETS = {"en": 0.3, "de": 0.175, "es": 0.175,
+                   "fr": 0.175, "zh": 0.175}
+MIXTURE_SEED = 13
+
+
+def q_text_mixture_sample(spark, sf_dir):
+    """Data mixing (operators/sampling.py:mixture_sample): per-domain
+    token totals -> target-share keep rates -> deterministic hash
+    sampling; the corpus side never shuffles (broadcast rate table)."""
+    from debezium_connector_db2_spark.operators.sampling import (
+        mixture_sample)
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "lang", MIXTURE_TARGETS,
+                          "n_chars", seed=MIXTURE_SEED)
+
+
 #: Chunking parameters shared by the Spark query and its SQL twin
 #: (chunk 32 / overlap 8 : the synthetic docs run 10-99 whitespace
 #: tokens, so most docs produce 1-4 chunks).
@@ -1173,6 +1193,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gopher": q_text_quality_gopher,
         "dedup_semantic": q_dedup_semantic,
         "text_chunk_plan": q_text_chunk_plan,
+        "text_mixture_sample": q_text_mixture_sample,
     }
 
 
@@ -2041,4 +2062,10 @@ def oracle_sql() -> dict[str, str]:
     sql["text_chunk_plan"] = chunk_plan_sql(
         "documents", "doc_id", chunk_tokens=CHUNK_TOKENS,
         overlap_tokens=CHUNK_OVERLAP, with_text=True)
+    from debezium_connector_db2_spark.operators.sampling import (
+        mixture_sample_sql)
+
+    sql["text_mixture_sample"] = mixture_sample_sql(
+        "documents", "doc_id", "lang", MIXTURE_TARGETS, "n_chars",
+        seed=MIXTURE_SEED)
     return sql

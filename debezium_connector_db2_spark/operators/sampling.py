@@ -138,3 +138,105 @@ def stratified_sample_sql(id_expr: str, stratum_expr: str,
                      for k, r in rates.items())
     case = f"CASE {whens} ELSE {float(default_rate)!r} END"
     return f"({u}) < ({case})"
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_shares: Mapping[str, float],
+    token_col: str,
+    token_budget: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Data mixing: deterministically downsample each domain so the
+    SAMPLED corpus' token mass approaches ``target_shares`` — the
+    "rebalance the English share / upweight code" step every
+    pre-training run performs (GPT-3 §2.2, The Pile §1, DoReMi's static
+    baseline).
+
+    Mechanics: per-domain token totals ``T_d`` (one map-side-combined
+    groupBy over a handful of domains), the largest achievable sampled
+    size without upsampling ``S* = min_d T_d / w_d`` (w = normalized
+    target), optionally capped by ``token_budget``; each domain keeps
+    ``rate_d = min(1, w_d * min(S*, budget) / T_d)`` of its rows by the
+    same pure-function-of-``(seed, id)`` hash the other samplers use.
+    Domains absent from ``target_shares`` get rate 0.
+
+    Scale shape: phase 1 is one tiny aggregate (|domains| rows); the
+    rate table re-joins the corpus BROADCAST, so the corpus itself never
+    shuffles — the scan-side cost is one hash probe + one filter.
+    Keep/drop is emitted as a flag (with the rate and token count) so a
+    pipeline can audit the realized mixture without re-scanning.
+
+    Output: ``(id_col, domain_col, n_tokens, keep_rate, keep)``.
+    """
+    if not target_shares:
+        raise ValueError("mixture_sample needs at least one target share")
+    total_w = float(sum(target_shares.values()))
+    if total_w <= 0:
+        raise ValueError("target shares must sum to > 0")
+    shares = {k: float(w) / total_w for k, w in target_shares.items()}
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, w) for k, w in shares.items()], f"{domain_col}: string, __w: double")
+    tok = F.col(token_col).cast("double")
+    tot = (df.groupBy(domain_col)
+           .agg(F.sum(tok).alias("__t"))
+           .join(tgt, domain_col, "inner"))
+    smax = tot.select(F.min(F.col("__t") / F.col("__w")).alias("__smax"))
+    budget_expr = (F.least(F.col("__smax"), F.lit(float(token_budget)))
+                   if token_budget is not None else F.col("__smax"))
+    rates = (tot.crossJoin(smax)
+             .select(F.col(domain_col),
+                     F.least(F.lit(1.0),
+                             (F.col("__w") * budget_expr) / F.col("__t"))
+                     .alias("__rate")))
+    u = _unit(F.col(id_col), seed)
+    return (df.join(F.broadcast(rates), domain_col, "left")
+            .select(F.col(id_col), F.col(domain_col),
+                    F.col(token_col).cast("long").alias("n_tokens"),
+                    F.round(F.coalesce(F.col("__rate"), F.lit(0.0)), 6)
+                    .alias("keep_rate"),
+                    (u < F.coalesce(F.col("__rate"), F.lit(0.0)))
+                    .alias("keep")))
+
+
+def mixture_sample_sql(
+    table: str,
+    id_expr: str,
+    domain_expr: str,
+    target_shares: Mapping[str, float],
+    token_expr: str,
+    token_budget: float | None = None,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (same normalization, same
+    double-arithmetic order, same hash)."""
+    total_w = float(sum(target_shares.values()))
+    shares = {k: float(w) / total_w for k, w in target_shares.items()}
+    vals = ", ".join(f"('{k}', {w!r})" for k, w in shares.items())
+    u = _unit_sql(id_expr, seed)
+    budget = (f"least(__smax, {float(token_budget)!r})"
+              if token_budget is not None else "__smax")
+    return f"""
+    WITH tgt(domain_key, __w) AS (VALUES {vals}),
+    tot AS (
+        SELECT {domain_expr} AS domain_key,
+               sum(CAST({token_expr} AS DOUBLE)) AS __t
+        FROM {table} GROUP BY 1
+    ),
+    jt AS (SELECT * FROM tot JOIN tgt USING (domain_key)),
+    sm AS (SELECT min(__t / __w) AS __smax FROM jt),
+    rates AS (
+        SELECT domain_key,
+               least(1.0, (__w * {budget}) / __t) AS __rate
+        FROM jt CROSS JOIN sm
+    )
+    SELECT {id_expr}, {domain_expr},
+           CAST({token_expr} AS BIGINT) AS n_tokens,
+           round(coalesce(__rate, 0.0), 6) AS keep_rate,
+           ({u}) < coalesce(__rate, 0.0) AS keep
+    FROM {table} LEFT JOIN rates ON {domain_expr} = domain_key
+    """

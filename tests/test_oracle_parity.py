@@ -56,6 +56,7 @@ def test_every_query_has_an_oracle():
     "text_quality_gopher",
     "dedup_semantic",
     "text_chunk_plan",
+    "text_mixture_sample",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -70,7 +71,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "text_pack_plan",
         "text_quality_gopher",
         "dedup_semantic",
-        "text_chunk_plan"]), "keep this parametrize in sync"
+        "text_chunk_plan",
+        "text_mixture_sample"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
