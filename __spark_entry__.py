@@ -1078,6 +1078,34 @@ def q_dedup_semantic(spark, sf_dir):
                     threshold=SEMDEDUP_TH, seed=SEMDEDUP_SEED)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-batch incremental dedup (operators/dedup_incremental.py):
+    the documents table arrives as two sequential crawl batches (even
+    doc_ids, then odd); each batch is probed against — and extends — a
+    persisted fingerprint LakeTable index (broadcast semi-join probe,
+    O(batch) per batch, MoR appends under an idempotent batch id).
+    Returns every doc's verdict; the oracle is a single window over the
+    equivalent global precedence order (batch, then doc_id)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        IncrementalDeduper,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="cdc-fpindex-oracle-")
+    # verdict frames read the index lazily; scratch dir lives to exit
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    dd = IncrementalDeduper(spark, os.path.join(d, "idx"), n_buckets=8)
+    v1 = dd.process_batch(docs.where(F.col("doc_id") % 2 == 0),
+                          "doc_id", "text", batch_seq=1)
+    v2 = dd.process_batch(docs.where(F.col("doc_id") % 2 == 1),
+                          "doc_id", "text", batch_seq=2)
+    return v1.unionByName(v2)
+
+
 #: Quality-gate parameters shared by the Spark query and its SQL twin
 #: (min_required_hits=1: the synthetic corpus vocabulary carries "the"
 #: but few other Gopher required words, so 1 hit keeps a pass/fail mix).
@@ -1194,6 +1222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "text_chunk_plan": q_text_chunk_plan,
         "text_mixture_sample": q_text_mixture_sample,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2068,4 +2097,14 @@ def oracle_sql() -> dict[str, str]:
     sql["text_mixture_sample"] = mixture_sample_sql(
         "documents", "doc_id", "lang", MIXTURE_TARGETS, "n_chars",
         seed=MIXTURE_SEED)
+    # incremental two-batch dedup == one window over the global
+    # precedence order (batch = doc_id parity, then doc_id within batch)
+    sql["dedup_incremental"] = f"""
+        SELECT doc_id, fp, (rn > 1) AS is_dup FROM (
+          SELECT doc_id, {fpq} AS fp,
+                 row_number() OVER (
+                   PARTITION BY {fpq}
+                   ORDER BY doc_id % 2, doc_id) AS rn
+          FROM documents)
+    """
     return sql

@@ -57,6 +57,7 @@ def test_every_query_has_an_oracle():
     "dedup_semantic",
     "text_chunk_plan",
     "text_mixture_sample",
+    "dedup_incremental",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -72,7 +73,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "text_quality_gopher",
         "dedup_semantic",
         "text_chunk_plan",
-        "text_mixture_sample"]), "keep this parametrize in sync"
+        "text_mixture_sample",
+        "dedup_incremental"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
