@@ -1106,6 +1106,20 @@ def q_dedup_incremental(spark, sf_dir):
     return v1.unionByName(v2)
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style unigram LM quality score (operators/lm_score.py):
+    train-on-corpus word log-probs (one vocab-bounded groupBy), then
+    per-doc average negative log-likelihood via a broadcast vocab join
+    — the standard perplexity-bucketing gate after rule filters.
+    Log-probs are quantized to integer deci-milli-nats before the
+    per-doc sum so the result is partition-order-independent and
+    bit-comparable with DuckDB."""
+    from debezium_connector_db2_spark.operators.lm_score import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id", "text")
+
+
 #: Quality-gate parameters shared by the Spark query and its SQL twin
 #: (min_required_hits=1: the synthetic corpus vocabulary carries "the"
 #: but few other Gopher required words, so 1 hit keeps a pass/fail mix).
@@ -1223,6 +1237,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_plan": q_text_chunk_plan,
         "text_mixture_sample": q_text_mixture_sample,
         "dedup_incremental": q_dedup_incremental,
+        "text_lm_score": q_text_lm_score,
     }
 
 
@@ -2107,4 +2122,7 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY doc_id % 2, doc_id) AS rn
           FROM documents)
     """
+    from debezium_connector_db2_spark.operators.lm_score import lm_score_sql
+
+    sql["text_lm_score"] = lm_score_sql("documents", "doc_id", "text")
     return sql

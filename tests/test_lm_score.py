@@ -1,0 +1,84 @@
+"""Unigram-LM quality scoring (CCNet-style perplexity filter)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_connector_db2_spark.operators.lm_score import (
+    LP_SCALE, lm_score, lm_score_sql, unigram_vocab,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the the the the"),            # most-typical words -> low nll
+    (3, "zyx wvu tsr qpo nml kji"),    # all-rare words -> high nll
+    (4, "the cat"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_scores_rank_typicality(spark):
+    out = {r["doc_id"]: r for r in lm_score(
+        _docs(spark), "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 6 and out[2]["n_tokens"] == 4
+    # all-stopword doc scores better (lower nll) than all-rare doc
+    assert out[2]["avg_nll"] < out[1]["avg_nll"] < out[3]["avg_nll"]
+
+
+def test_closed_form_single_word_doc(spark):
+    out = {r["doc_id"]: r for r in lm_score(
+        _docs(spark), "doc_id", "text").collect()}
+    # corpus: N=18 tokens, V=11 distinct; "the"x7, "cat"x2 (+1 smoothing)
+    denom = 18 + 1.0 * (11 + 1)
+    lp_the = -math.floor(-math.log(8 / denom) * LP_SCALE + 0.5)
+    lp_cat = -math.floor(-math.log(3 / denom) * LP_SCALE + 0.5)
+    want = round(-(lp_the + lp_cat) / (LP_SCALE * 2.0), 4)
+    assert out[4]["avg_nll"] == pytest.approx(want, abs=1e-9)
+
+
+def test_vocab_cap_sends_tail_to_oov(spark):
+    docs = _docs(spark)
+    vocab, oov = unigram_vocab(docs, "text", "doc_id", max_vocab=2)
+    kept = {r["word"] for r in vocab.collect()}
+    assert "the" in kept and len(kept) == 2
+    out = {r["doc_id"]: r for r in lm_score(
+        docs, "doc_id", "text", vocab=vocab, oov_lp_u=oov).collect()}
+    # doc 3 is entirely OOV under the cap: avg_nll == -oov/LP_SCALE
+    assert out[3]["avg_nll"] == pytest.approx(
+        round(-oov / float(LP_SCALE), 4), abs=1e-9)
+    # capped scores are >= uncapped (OOV floor is the worst prob)
+    full = {r["doc_id"]: r["avg_nll"] for r in lm_score(
+        docs, "doc_id", "text").collect()}
+    assert all(out[i]["avg_nll"] >= full[i] - 1e-9 for i in out)
+
+
+def test_external_model_scores_new_docs(spark):
+    train = _docs(spark)
+    vocab, oov = unigram_vocab(train, "text", "doc_id")
+    new = spark.createDataFrame(
+        [(100, "the cat"), (101, "unseen wordsoup")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(
+        new, "doc_id", "text", vocab=vocab, oov_lp_u=oov).collect()}
+    assert out[100]["avg_nll"] < out[101]["avg_nll"]
+    assert out[101]["avg_nll"] == pytest.approx(
+        round(-oov / float(LP_SCALE), 4), abs=1e-9)
+
+
+def test_duckdb_twin_matches(spark, tmpdir_path):
+    import duckdb
+
+    docs = _docs(spark)
+    docs.coalesce(1).write.parquet(f"{tmpdir_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmpdir_path}/documents.parquet/*.parquet')")
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        lm_score_sql("documents", "doc_id", "text")).fetchall()}
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+           for r in lm_score(docs, "doc_id", "text").collect()}
+    assert got == want

@@ -58,6 +58,7 @@ def test_every_query_has_an_oracle():
     "text_chunk_plan",
     "text_mixture_sample",
     "dedup_incremental",
+    "text_lm_score",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -74,7 +75,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "dedup_semantic",
         "text_chunk_plan",
         "text_mixture_sample",
-        "dedup_incremental"]), "keep this parametrize in sync"
+        "dedup_incremental",
+        "text_lm_score"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
