@@ -383,6 +383,63 @@ def bench_scaled_queries(spark: SparkSession, sf_dir: str,
     }
 
 
+#: Sequential crawl batches pushed through the persisted fingerprint
+#: index; per-batch wall time should stay ~flat while the index grows
+#: (the O(batch)-per-batch claim vs O(history) rescans).
+N_INCR_BATCHES = max(3, int(os.environ.get("SPARK_GRAFT_INCR_BATCHES", "9")))
+
+
+def bench_incremental_dedup(spark: SparkSession, sf_dir: str,
+                            work_dir: str) -> dict:
+    """Time ``IncrementalDeduper.process_batch`` for N_INCR_BATCHES
+    equal-size batches (each a marker-perturbed copy of the sf corpus,
+    so fingerprints are distinct across batches and every batch grows
+    the index by ~n_docs).  Evidence cell: ``ratio_last_first`` ≈ 1
+    means probing a 1-batch index and an (N-1)-batch index cost the
+    same — per-batch work scales with the batch, not the history.
+    ``compact()`` every 4 batches is timed in (the honest amortized
+    maintenance cost)."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        IncrementalDeduper,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    d = IncrementalDeduper(
+        spark, os.path.join(work_dir, "fpindex"), n_buckets=64)
+    times, dup_counts = [], []
+    for i in range(N_INCR_BATCHES):
+        # odd doc_ids get a per-batch marker (genuinely new content);
+        # even ones keep batch 0's text — real probe HITS every batch
+        batch = (docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+                 .withColumn("text", F.when(
+                     F.col("doc_id") % 2 == 1,
+                     F.concat(F.col("text"), F.lit(f" crawl{i}")))
+                     .otherwise(F.col("text"))))
+        t0 = time.time()
+        verdict = d.process_batch(batch, "doc_id", "text", batch_seq=i + 1)
+        dup_counts.append(verdict.where("is_dup").count())
+        if i % 4 == 3:
+            d.compact()
+        times.append(round(time.time() - t0, 3))
+    # floors protocol, cold batch 1 excluded: late(min of last 3) vs
+    # early(min of batches 2-4) — ~1.0 == per-batch cost independent of
+    # index size
+    early = min(times[1:4])
+    late = min(times[-3:])
+    return {
+        "batches": N_INCR_BATCHES,
+        "batch_docs": n_docs,
+        "batch_sec": times,
+        "dup_counts": dup_counts,
+        "early_floor_s": early,
+        "late_floor_s": late,
+        "ratio_late_early": round(late / max(early, 1e-9), 2),
+    }
+
+
 def main():
     sf = _sf_of(SF_DIR)
     n_ops = max(int(OPS_PER_SF * sf), 10_000)
@@ -410,6 +467,10 @@ def main():
         shutil.rmtree(sd, ignore_errors=True)
         queries, queries_warm, queries_floor = bench_queries(spark, SF_DIR)
         queries_scaled = bench_scaled_queries(spark, SF_DIR, work)
+        incr_dir = os.path.join(work, "incr")
+        os.makedirs(incr_dir, exist_ok=True)
+        incr = bench_incremental_dedup(spark, SF_DIR, incr_dir)
+        shutil.rmtree(incr_dir, ignore_errors=True)
 
         detail = {
             "metric": "end-to-end change-events/sec applied (snapshot + "
@@ -427,6 +488,7 @@ def main():
             "cdc_detail": cdc,
             "scale_points": scale_points,
             "cdc_streaming": streaming,
+            "incremental_dedup": incr,
         }
         detail_path = os.path.join(HERE, "BENCH_DETAIL.json")
         with open(detail_path, "w") as f:
@@ -454,6 +516,10 @@ def main():
                 **queries_scaled["floor"],
             },
             "streaming_eps": streaming["events_per_sec"],
+            "incr_dedup": {"batches": incr["batches"],
+                           "early_s": incr["early_floor_s"],
+                           "late_s": incr["late_floor_s"],
+                           "ratio": incr["ratio_late_early"]},
             "passes": {"cold": 1, "warm": N_WARM,
                        "warm_scaled": N_WARM_SCALED,
                        "cdc_pairs_largest": N_CDC_PAIRS_LARGEST},
