@@ -1120,6 +1120,25 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+#: Verbatim-span window width (tokens) for the graded substring row —
+#: shared by the Spark query and its DuckDB twin.
+SUBSTR_K = 8
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Verbatim-span dedup (operators/dedup_substring.py): Lee et al.
+    2021 exact-substring semantics as positional k-token window hashes
+    + diagonal streak chaining — pairs sharing a ≥k-token verbatim run,
+    with the longest shared span per pair.  Inverted-index equi-join on
+    the window hash, never all-pairs."""
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_pairs(docs, "doc_id", "text", k=SUBSTR_K)
+
+
 #: Quality-gate parameters shared by the Spark query and its SQL twin
 #: (min_required_hits=1: the synthetic corpus vocabulary carries "the"
 #: but few other Gopher required words, so 1 hit keeps a pass/fail mix).
@@ -1238,6 +1257,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_sample": q_text_mixture_sample,
         "dedup_incremental": q_dedup_incremental,
         "text_lm_score": q_text_lm_score,
+        "dedup_substring": q_dedup_substring,
     }
 
 
@@ -2125,4 +2145,9 @@ def oracle_sql() -> dict[str, str]:
     from debezium_connector_db2_spark.operators.lm_score import lm_score_sql
 
     sql["text_lm_score"] = lm_score_sql("documents", "doc_id", "text")
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_pairs_sql)
+
+    sql["dedup_substring"] = substring_pairs_sql(
+        "documents", "doc_id", "text", k=SUBSTR_K)
     return sql
