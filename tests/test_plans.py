@@ -127,3 +127,49 @@ def test_minhash_band_bucket_cap_semi_join(spark):
     plan = formatted_plan(pairs)
     assert "Window" not in plan
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_lm_score_vocab_join_broadcasts(spark):
+    """The LM scoring join (corpus tokens ⋈ vocab) must broadcast the
+    vocab side — the corpus never shuffles by word on the score path —
+    and the per-doc reduction must be a map-side-combined sum (no
+    Python stage anywhere)."""
+    from debezium_connector_db2_spark.operators.lm_score import lm_score
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = lm_score(docs, "doc_id", "text")
+    plan = formatted_plan(out)
+    assert has_broadcast_join(out), plan[:2000]
+    assert "partial_sum" in plan, "expected map-side partial per-doc sum"
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_probe_is_broadcast_semi(spark, tmpdir_path):
+    """The index probe must be a broadcast LEFT SEMI against the batch's
+    fingerprints: the (huge) index streams through with no shuffle of
+    either side."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        IncrementalDeduper)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    d = IncrementalDeduper(spark, os.path.join(tmpdir_path, "fpi"),
+                           n_buckets=4)
+    d.process_batch(docs.limit(50), "doc_id", "text", 1)
+    verdict = d.process_batch(docs, "doc_id", "text", 2)
+    plan = formatted_plan(verdict)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert has_broadcast_join(verdict), plan[:2000]
+
+
+def test_substring_pairs_no_cartesian(spark):
+    """Verbatim-span pairing must stay an equi-join on the window hash —
+    never a nested-loop/cartesian expansion — and the streak chaining
+    windows only the (bounded) hit set after the join."""
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_pairs)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    pairs = substring_pairs(docs, "doc_id", "text", k=8)
+    plan = formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
