@@ -132,7 +132,89 @@ class IncrementalDeduper:
         )
         return verdict
 
+    def max_registered_seq(self) -> int:
+        """Largest ``batch_seq`` that ever registered a fingerprint (0
+        on a fresh index) — the resume point for a new logical clock."""
+        row = (self.index.read(raw=True)
+               .agg(F.max("__commit_lsn")).collect()[0][0])
+        return int(row or 0)
+
     def compact(self) -> None:
         """Fold per-bucket delta files into base files (MoR maintenance;
         amortize every N batches like the engine's auto-compaction)."""
         self.index.compact()
+
+
+class StreamingDeduper:
+    """Structured Streaming front-end for :class:`IncrementalDeduper`:
+    a parquet file stream of crawl drops → ``foreachBatch`` probe +
+    extend → kept (non-duplicate) docs written per epoch.
+
+    Exactly-once across crash/replay, mirroring ``streaming.stream``:
+
+    * index side — ``process_batch`` commits under
+      ``crawl-{epoch}``; a replayed epoch registers nothing twice and
+      (via the ``commit_lsn < batch_seq`` probe) re-derives the same
+      verdicts;
+    * output side — kept docs land at ``out_dir/epoch={epoch}`` with
+      ``mode=overwrite``: a replay rewrites the same path, so readers
+      of ``out_dir`` never see doubled batches;
+    * clock side — ``batch_seq = base + epoch + 1`` where ``base`` is
+      the index's max registered seq at query start: a RESET streaming
+      checkpoint (epoch ids restart at 0) cannot make a new query's
+      early batches treat the existing index as "not yet registered".
+
+    The reference analogue of the lifecycle (stream + persistent
+    server-side state that must survive restart) is the capture
+    program's restart contract (``asncdc.c`` init/reinit).
+    """
+
+    def __init__(self, spark: SparkSession, crawl_dir: str,
+                 index_path: str, out_dir: str, checkpoint_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 schema=None, max_files_per_trigger: int | None = None,
+                 compact_every: int = 4):
+        self.spark = spark
+        self.crawl_dir = crawl_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.id_col, self.text_col = id_col, text_col
+        self.schema = schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.compact_every = compact_every
+        self.dedup = IncrementalDeduper(spark, index_path)
+        self._base_seq = self.dedup.max_registered_seq()
+
+    def _apply(self, batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        seq = self._base_seq + int(epoch_id) + 1
+        verdict = self.dedup.process_batch(
+            batch, self.id_col, self.text_col, batch_seq=seq,
+            batch_id=f"crawl-{seq}")
+        kept = (batch.join(
+            verdict.where(~F.col("is_dup")).select(self.id_col),
+            self.id_col, "left_semi"))
+        kept.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"epoch={int(epoch_id)}"))
+        if seq % self.compact_every == 0:
+            self.dedup.compact()
+
+    def run_available(self) -> None:
+        """Drain all currently-visible crawl files and stop."""
+        reader = self.spark.readStream
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        else:
+            reader = reader.schema(
+                self.spark.read.parquet(self.crawl_dir).schema)
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   self.max_files_per_trigger)
+        q = (reader.parquet(self.crawl_dir)
+             .writeStream.foreachBatch(self._apply)
+             .option("checkpointLocation", self.checkpoint_dir)
+             .trigger(availableNow=True)
+             .outputMode("update")
+             .start())
+        q.awaitTermination()

@@ -100,3 +100,38 @@ def test_reopen_existing_index(spark, tmpdir_path):
     v = _verdict_map(d2.process_batch(
         _docs(spark, [(30, "unique alpha")]), "doc_id", "text", 2))
     assert v == {30: True}
+
+
+def test_streaming_dedup_across_drops(spark, tmpdir_path):
+    """Crawl drops arriving as a file stream: cross-drop dups filtered,
+    restart resumes the clock, replay writes no doubled output."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        StreamingDeduper)
+
+    crawl = os.path.join(tmpdir_path, "crawl")
+    sd = StreamingDeduper(
+        spark, crawl, os.path.join(tmpdir_path, "idx"),
+        os.path.join(tmpdir_path, "kept"), os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1)
+
+    _docs(spark, BATCH1).coalesce(1).write.mode("append").parquet(crawl)
+    sd.run_available()
+    kept1 = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2, 4]
+
+    # second drop: new file with cross-drop dups of batch 1
+    _docs(spark, BATCH2).coalesce(1).write.mode("append").parquet(crawl)
+    sd.run_available()
+    kept = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4, 11, 13]
+
+    # a NEW query over the same state (restart): clock resumes past the
+    # registered batches, drained files are not reprocessed
+    sd2 = StreamingDeduper(
+        spark, crawl, os.path.join(tmpdir_path, "idx"),
+        os.path.join(tmpdir_path, "kept"), os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1)
+    assert sd2._base_seq >= 2
+    sd2.run_available()
+    kept_after = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
+    assert kept_after.count() == 5
