@@ -1124,6 +1124,27 @@ def q_text_lm_score(spark, sf_dir):
 #: shared by the Spark query and its DuckDB twin.
 SUBSTR_K = 8
 
+#: Funnel LM threshold: the sf0.01 avg_nll distribution spans
+#: 3.38–3.70 with median 3.40, so 3.4 yields a genuine three-way
+#: quality/lm/kept split at every sf.
+FUNNEL_MAX_NLL = 3.4
+
+
+def q_text_funnel(spark, sf_dir):
+    """Composed pre-training filter funnel (operators/funnel.py):
+    Gopher rules → survivor-trained unigram-LM gate → exact dedup among
+    survivors, one verdict per doc naming the first failing stage —
+    the single-scan pipeline shape (C4 → CCNet → dedup) a real corpus
+    build runs, with per-stage attrition derivable by a groupBy."""
+    from debezium_connector_db2_spark.operators.funnel import corpus_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_funnel(docs, "doc_id", "text",
+                         max_avg_nll=FUNNEL_MAX_NLL,
+                         gopher_kwargs=dict(
+                             min_words=QUALITY_MIN_WORDS,
+                             min_required_hits=QUALITY_MIN_REQ))
+
 
 def q_dedup_substring(spark, sf_dir):
     """Verbatim-span dedup (operators/dedup_substring.py): Lee et al.
@@ -1258,6 +1279,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "text_lm_score": q_text_lm_score,
         "dedup_substring": q_dedup_substring,
+        "text_funnel": q_text_funnel,
     }
 
 
@@ -2150,4 +2172,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_substring"] = substring_pairs_sql(
         "documents", "doc_id", "text", k=SUBSTR_K)
+    from debezium_connector_db2_spark.operators.funnel import (
+        corpus_funnel_sql)
+
+    sql["text_funnel"] = corpus_funnel_sql(
+        "documents", "doc_id", "text", max_avg_nll=FUNNEL_MAX_NLL,
+        gopher_sql_kwargs=dict(min_words=QUALITY_MIN_WORDS,
+                               min_required_hits=QUALITY_MIN_REQ))
     return sql

@@ -66,6 +66,7 @@ def gopher_quality(
     min_alpha_word_ratio: float = 0.8,
     min_required_hits: int = 2,
     required_words: list[str] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document Gopher measurements + ``passes`` verdict.
 
@@ -73,7 +74,9 @@ def gopher_quality(
     bullet_ratio, ellipsis_ratio, alpha_word_ratio, required_hits,
     passes)`` — one row per input row (filtering is the caller's
     ``.where("passes")``, so the measurements stay available for
-    offline re-thresholding).
+    offline re-thresholding).  ``keep_cols`` passes extra input columns
+    through the projection (e.g. the text itself for a downstream
+    funnel stage) at zero cost — no join-back needed.
     """
     required = required_words if required_words is not None else REQUIRED_WORDS
     t = F.trim(F.col(text_col))
@@ -96,6 +99,7 @@ def gopher_quality(
         hits = hit if hits is None else hits + hit
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         _ratio(n_symbols, n_words).alias("symbol_ratio"),

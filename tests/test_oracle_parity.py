@@ -60,6 +60,7 @@ def test_every_query_has_an_oracle():
     "dedup_incremental",
     "text_lm_score",
     "dedup_substring",
+    "text_funnel",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -78,7 +79,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "text_mixture_sample",
         "dedup_incremental",
         "text_lm_score",
-        "dedup_substring"]), "keep this parametrize in sync"
+        "dedup_substring",
+        "text_funnel"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)
