@@ -61,6 +61,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "media_decode",
+    "text_lm_score",
+    "dedup_substring",
+    "text_funnel",
 ]
 
 #: CDC end-to-end is measured at these multiples of the base op count —

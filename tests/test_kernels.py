@@ -20,6 +20,7 @@ from debezium_connector_db2_spark.operators.filters import (
     lsn_range,
     max_lsn,
     max_lsn_for_timespan,
+    null_lsn_guard,
     stop_lsn_filter,
 )
 from debezium_connector_db2_spark.operators.masking import (
@@ -219,3 +220,22 @@ def test_column_include_exclude_lists(spark, tmpdir_path):
         for side in (r.before, r.after):
             if side is not None:
                 assert "tool" not in side.asDict()
+
+
+def test_null_lsn_guard_drops_in_flight_rows(spark):
+    """F5: rows whose commit LSN is still NULL (uncommitted/in-flight
+    capture reads) must be dropped and never counted toward frontiers
+    (``Db2StreamingChangeEventSource.java:203-207``)."""
+    from pyspark.sql import types as T
+
+    nullable = T.StructType([
+        T.StructField(f.name, f.dataType, True) for f in BINLOG_SCHEMA.fields])
+    df = spark.createDataFrame([
+        _row(1, 0, "I", "c", 0, "a"),
+        _row(None, 0, "I", "c", 1, "b"),
+        _row(2, 0, "I", "c", 2, "c"),
+    ], nullable)
+    kept = null_lsn_guard(df)
+    assert kept.count() == 2
+    assert max_lsn(kept) == 2
+    assert {r.turn_idx for r in kept.collect()} == {0, 2}
