@@ -110,6 +110,29 @@ def main():
         decode_media(media),
     ))
 
+    from debezium_connector_db2_spark.operators.lm_score import lm_score
+
+    sections.append((
+        "LM quality score — broadcast vocab join",
+        "The scoring join is `BroadcastHashJoin` (vocab side), so the "
+        "corpus never shuffles by word on the score path; the per-doc "
+        "reduction is a map-side `partial_sum` over exact integer "
+        "deci-milli-nats (order-independent at any parallelism).",
+        lm_score(docs, "doc_id", "text"),
+    ))
+
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_pairs)
+
+    sections.append((
+        "Verbatim-span dedup — inverted-index window-hash join",
+        "Pairing is an equi-join on the k-token window hash (no "
+        "cartesian/nested-loop operator anywhere); the streak window "
+        "runs only over the post-join hit set, bounded by per-pair "
+        "collision counts.",
+        substring_pairs(docs, "doc_id", "text", k=8),
+    ))
+
     out = ["# PLANS — physical plans of the load-bearing kernels",
            "",
            "Generated by `scripts/dump_plans.py` (plan-shape properties are",
