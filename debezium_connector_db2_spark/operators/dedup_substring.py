@@ -85,9 +85,13 @@ def substring_pairs(docs: DataFrame, id_col: str, text_col: str,
         w = w.join(keep, "wh", "left_semi")
     a = w.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "wh")
     b = w.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "wh")
+    # no distinct needed: each (doc, pos) emits exactly one window row,
+    # so (a, b, pa, pb) combinations out of the equi-join are already
+    # unique — a distinct here would be a pure extra exchange of the
+    # hit set
     hits = (a.join(b, "wh")
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", "pa", "pb").distinct())
+            .select("a", "b", "pa", "pb"))
     # windows of one shared run share the diagonal pa-pb and have
     # consecutive pa: streak id = pa - row_number is constant per run
     diag = hits.withColumn("diag", F.col("pa") - F.col("pb"))
@@ -122,7 +126,7 @@ def substring_pairs_sql(table: str, id_col: str, text_col: str,
             SELECT unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS i)
         ),
         hits AS (
-          SELECT DISTINCT a.id AS a, b.id AS b, a.pos AS pa, b.pos AS pb
+          SELECT a.id AS a, b.id AS b, a.pos AS pa, b.pos AS pb
           FROM win a JOIN win b USING (wh) WHERE a.id < b.id
         ),
         runs AS (

@@ -103,6 +103,11 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
     if vocab is None:
         vocab, oov_lp_u = unigram_vocab(docs, text_col, id_col,
                                         max_vocab=max_vocab, alpha=alpha)
+    elif oov_lp_u is None:
+        raise ValueError(
+            "lm_score: an external vocab requires its oov_lp_u (both are "
+            "returned by unigram_vocab) — without the matching OOV floor, "
+            "out-of-vocabulary tokens would score as NULL")
     toks = _tokens(docs, id_col, text_col)
     scored = (toks.join(F.broadcast(vocab), "word", "left")
               .groupBy(id_col)
