@@ -82,14 +82,14 @@ SCALE_MULTS = [
 #: regression indistinguishable from noise).
 N_WARM = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3")))
 
-#: (cold, warm) replay pairs at the LARGEST scale point — the floors
-#: protocol (SCALING.json methodology: repeat passes, floor of minima,
-#: all samples recorded) applied to the point whose single-sample cells
-#: swung 404k-1,099k events/s across rounds on this noisy shared host.
-#: Smaller points keep 1 pair (cheap enough that their two samples were
-#: never in dispute).
-N_CDC_PAIRS_LARGEST = max(
-    1, int(os.environ.get("SPARK_GRAFT_CDC_PAIRS_LARGEST", "2")))
+#: (cold, warm) replay pairs per CDC scale point — the floors protocol
+#: (SCALING.json methodology: repeat passes, floor of minima, all
+#: samples recorded).  Originally only the largest point ran pairs; a
+#: round-6 validation run caught a 4x cold cell at 96.9k (vs 458.8k the
+#: run before) — the smaller points land in noise bursts too, and a
+#: second pair costs ~1 min total.
+N_CDC_PAIRS = max(
+    1, int(os.environ.get("SPARK_GRAFT_CDC_PAIRS", "2")))
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -453,13 +453,11 @@ def main():
     try:
         scale_points = []
         cdc = None
-        largest = max(SCALE_MULTS)
         for mult in SCALE_MULTS:
             d = os.path.join(work, f"x{mult:g}")
             os.makedirs(d, exist_ok=True)
-            pairs = N_CDC_PAIRS_LARGEST if mult == largest else 1
             point = bench_cdc_replay(spark, int(n_ops * mult), d,
-                                     n_pairs=pairs)
+                                     n_pairs=N_CDC_PAIRS)
             point["ops_multiple"] = mult
             scale_points.append(point)
             if cdc is None:
@@ -526,7 +524,7 @@ def main():
                            "ratio": incr["ratio_late_early"]},
             "passes": {"cold": 1, "warm": N_WARM,
                        "warm_scaled": N_WARM_SCALED,
-                       "cdc_pairs_largest": N_CDC_PAIRS_LARGEST},
+                       "cdc_pairs": N_CDC_PAIRS},
             "detail": "BENCH_DETAIL.json",
         }
         line = json.dumps(compact, separators=(",", ":"))
