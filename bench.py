@@ -317,7 +317,7 @@ DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "8"))
 SCALED_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                   "dedup_cluster_keepers", "dedup_conversations_near",
                   "dedup_embedding_cosine", "ann_ivf_topk",
-                  "text_lm_score", "dedup_substring"]
+                  "text_lm_score", "dedup_substring", "text_funnel"]
 N_WARM_SCALED = max(1, int(os.environ.get("SPARK_GRAFT_SCALED_PASSES", "2")))
 
 
