@@ -903,6 +903,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(items, queries, k=10, round_to=4)
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered ANN (the standard retrieval shape: restrict
+    candidates by a predicate, then rank): brute-force cosine top-k over
+    only `label` ∈ {0,1,2} items.  The filter composes BEFORE the
+    broadcast-queries scoring scan, so Catalyst pushes it into the
+    parquet scan — a 10-label corpus reads ~30% of its row groups
+    (pinned in tests/test_plans.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    items = emb.where((F.col("vec_id") >= 5) & (F.col("label") <= 2))
+    return SIM.cosine_topk(items, queries, k=10, round_to=4)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -1280,6 +1293,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "dedup_substring": q_dedup_substring,
         "text_funnel": q_text_funnel,
+        "ann_filtered_topk": q_ann_filtered_topk,
     }
 
 
@@ -2081,6 +2095,21 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 5),
             it AS (SELECT vec_id AS item_id, embedding AS ivec
                    FROM embeddings WHERE vec_id >= 5),
+            scored AS (
+              SELECT query_id, item_id,
+                     round({_COS_SQL}, 4) AS cos
+              FROM it CROSS JOIN q
+              WHERE item_id != query_id)
+            SELECT query_id, item_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, item_id ASC) AS rank
+            FROM scored QUALIFY rank <= 10
+        """,
+        "ann_filtered_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            it AS (SELECT vec_id AS item_id, embedding AS ivec
+                   FROM embeddings WHERE vec_id >= 5 AND label <= 2),
             scored AS (
               SELECT query_id, item_id,
                      round({_COS_SQL}, 4) AS cos

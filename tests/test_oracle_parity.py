@@ -61,6 +61,7 @@ def test_every_query_has_an_oracle():
     "text_lm_score",
     "dedup_substring",
     "text_funnel",
+    "ann_filtered_topk",
 ])
 def test_overflow_query_matches_oracle(spark, name):
     from scripts.check_contract import check_one, duck_connection
@@ -80,7 +81,8 @@ def test_overflow_query_matches_oracle(spark, name):
         "dedup_incremental",
         "text_lm_score",
         "dedup_substring",
-        "text_funnel"]), "keep this parametrize in sync"
+        "text_funnel",
+        "ann_filtered_topk"]), "keep this parametrize in sync"
     con = duck_connection(SF_DIR)
     ok, detail = check_one(spark, con, name, extras[name],
                            e.oracle_sql()[name], SF_DIR)

@@ -173,3 +173,13 @@ def test_substring_pairs_no_cartesian(spark):
     plan = formatted_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_ann_pushes_label_predicate(spark):
+    """Metadata-filtered ANN: the label predicate must reach the parquet
+    scan (PushedFilters), not run post-scan over all vectors."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.extra_queries()["ann_filtered_topk"](spark, SF)
+    assert has_pushed_filter(df, "LessThanOrEqual(label,2)"), \
+        formatted_plan(df)[:2000]
