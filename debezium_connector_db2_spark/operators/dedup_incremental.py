@@ -50,10 +50,15 @@ class IncrementalDeduper:
     def __init__(self, spark: SparkSession, index_path: str,
                  n_buckets: int = 64):
         self.spark = spark
-        try:
-            self.index = LakeTable(spark, index_path)
-            self.index.manifest()          # raises if absent
-        except Exception:
+        # Create-vs-open decided by existence, NOT by whether the
+        # manifest read succeeds: a transient read failure on an
+        # EXISTING index (torn manifest, OSError on the version
+        # pointer) must propagate — re-creating would flip the version
+        # pointer back to 0 and silently discard the entire fingerprint
+        # history, re-admitting every previously-seen duplicate.
+        if LakeTable.exists(index_path):
+            self.index = LakeTable.load(spark, index_path)
+        else:
             self.index = LakeTable.create(
                 spark, index_path, INDEX_SCHEMA, bucket_by="fp",
                 n_buckets=n_buckets, versioned=True, merge_mode="mor",
@@ -160,9 +165,20 @@ class StreamingDeduper:
       ``mode=overwrite``: a replay rewrites the same path, so readers
       of ``out_dir`` never see doubled batches;
     * clock side — ``batch_seq = base + epoch + 1`` where ``base`` is
-      the index's max registered seq at query start: a RESET streaming
-      checkpoint (epoch ids restart at 0) cannot make a new query's
-      early batches treat the existing index as "not yet registered".
+      PERSISTED beside the checkpoint the first time the query starts
+      (``{checkpoint_dir}/dedup_base_seq.json``, written atomically)
+      and re-read on every restart.  Recomputing ``base`` from the
+      index at construction would break exactly-once in one crash
+      window: index registered for epoch N, crash BEFORE the streaming
+      checkpoint commits → restart replays epoch N with a larger base,
+      the ``commit_lsn < batch_seq`` probe then sees the epoch's own
+      registrations, every doc is marked dup and ``out_dir/epoch=N``
+      is overwritten empty.  With the persisted base the replayed
+      epoch maps to the SAME seq, the probe excludes its own
+      registrations, and the original verdicts are re-derived.  A
+      reset checkpoint (new dir, epoch ids restart at 0) gets a fresh
+      base file seeded from the index's max registered seq, so early
+      batches still see the existing index as prior history.
 
     The reference analogue of the lifecycle (stream + persistent
     server-side state that must survive restart) is the capture
@@ -183,7 +199,34 @@ class StreamingDeduper:
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_every = compact_every
         self.dedup = IncrementalDeduper(spark, index_path)
-        self._base_seq = self.dedup.max_registered_seq()
+        self._base_seq = self._load_base_seq()
+
+    def _load_base_seq(self) -> int:
+        """Stable per-checkpoint clock base (see class docstring).
+
+        Written once, atomically, on the FIRST start against this
+        checkpoint dir; every restart — including a crash-replay where
+        the index committed an epoch the checkpoint didn't — reuses it,
+        so ``epoch_id → batch_seq`` is a pure function of the
+        checkpoint's lifetime and replayed epochs re-derive their
+        original verdicts.
+        """
+        import json
+        import os
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, "dedup_base_seq.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return int(json.load(f)["base_seq"])
+        base = self.dedup.max_registered_seq()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"base_seq": base}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return base
 
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:
         import os

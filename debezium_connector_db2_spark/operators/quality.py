@@ -32,6 +32,8 @@ the corpus quality gate of the pipeline brief.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: Gopher's required-word list (§A1.1): a document failing to contain at
@@ -50,6 +52,11 @@ def _ratio(num: Column, den: Column) -> Column:
 def _ratio_sql(num: str, den: str) -> str:
     return (f"CASE WHEN ({den}) = 0 THEN 0.0 "
             f"ELSE round(CAST({num} AS DOUBLE) / ({den}), {_ROUND}) END")
+
+
+def _sql_quote(s: str) -> str:
+    """Double embedded single quotes for a SQL string literal."""
+    return s.replace("'", "''")
 
 
 def gopher_quality(
@@ -92,11 +99,15 @@ def gopher_quality(
     n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*]")))
     n_ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
     n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    hits = None
+    # Words are matched literally: re.escape guards metacharacters in
+    # custom required_words; seeding with lit(0) makes an empty list
+    # yield required_hits = 0 rather than a null column.
+    hits = F.lit(0)
     low = F.lower(t)
     for w in required:
-        hit = F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
-        hits = hit if hits is None else hits + hit
+        hit = F.when(low.rlike(rf"\b{re.escape(w)}\b"),
+                     F.lit(1)).otherwise(F.lit(0))
+        hits = hits + hit
     out = df.select(
         F.col(id_col),
         *[F.col(c) for c in (keep_cols or [])],
@@ -152,9 +163,12 @@ def gopher_quality_sql(
                   f"x -> regexp_matches(x, '\\.\\.\\.\\s*$')))")
     n_alpha = (f"length(list_filter({words}, "
                f"w -> regexp_matches(w, '[A-Za-z]')))")
-    hits = " + ".join(
-        f"CASE WHEN regexp_matches(lower({t}), '\\b{w}\\b') "
-        f"THEN 1 ELSE 0 END"
+    # Mirror the Spark side's literal-word handling: regex-escape each
+    # word, then double embedded quotes for the SQL string literal; the
+    # "0 + " seed keeps an empty list valid SQL yielding 0 hits.
+    hits = "0" + "".join(
+        f" + CASE WHEN regexp_matches(lower({t}), "
+        f"'\\b{_sql_quote(re.escape(w))}\\b') THEN 1 ELSE 0 END"
         for w in required)
     return f"""
     WITH m AS (

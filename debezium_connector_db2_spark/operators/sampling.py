@@ -45,6 +45,13 @@ def _unit_sql(id_expr: str, seed: int) -> str:
     return f"(({h}) % {_MOD}) / {float(_MOD)}"
 
 
+def _sql_str(s: str) -> str:
+    """Render a key as a single-quoted SQL literal, doubling embedded
+    quotes — keeps the DuckDB twins byte-faithful to the Spark side's
+    literal handling for names like ``o'brien``."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -88,9 +95,9 @@ def hash_split_sql(id_expr: str, weights: Sequence[tuple[str, float]],
     parts, acc = [], 0.0
     for name, w in weights[:-1]:
         acc += w / total
-        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+        parts.append(f"WHEN {u} < {acc!r} THEN {_sql_str(name)}")
     body = " ".join(parts)
-    return f"CASE {body} ELSE '{weights[-1][0]}' END"
+    return f"CASE {body} ELSE {_sql_str(weights[-1][0])} END"
 
 
 def stratified_sample(
@@ -134,7 +141,7 @@ def stratified_sample_sql(id_expr: str, stratum_expr: str,
                           seed: int = 0) -> str:
     """DuckDB predicate mirroring :func:`stratified_sample` exactly."""
     u = _unit_sql(id_expr, seed)
-    whens = " ".join(f"WHEN {stratum_expr} = '{k}' THEN {float(r)!r}"
+    whens = " ".join(f"WHEN {stratum_expr} = {_sql_str(k)} THEN {float(r)!r}"
                      for k, r in rates.items())
     case = f"CASE {whens} ELSE {float(default_rate)!r} END"
     return f"({u}) < ({case})"
@@ -216,7 +223,7 @@ def mixture_sample_sql(
     double-arithmetic order, same hash)."""
     total_w = float(sum(target_shares.values()))
     shares = {k: float(w) / total_w for k, w in target_shares.items()}
-    vals = ", ".join(f"('{k}', {w!r})" for k, w in shares.items())
+    vals = ", ".join(f"({_sql_str(k)}, {w!r})" for k, w in shares.items())
     u = _unit_sql(id_expr, seed)
     budget = (f"least(__smax, {float(token_budget)!r})"
               if token_budget is not None else "__smax")

@@ -125,13 +125,104 @@ def test_streaming_dedup_across_drops(spark, tmpdir_path):
     kept = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4, 11, 13]
 
-    # a NEW query over the same state (restart): clock resumes past the
-    # registered batches, drained files are not reprocessed
+    # a NEW query over the same state (restart): the clock base is the
+    # PERSISTED first-start base (stable for the checkpoint's lifetime —
+    # epoch ids carry the progress), drained files are not reprocessed
     sd2 = StreamingDeduper(
         spark, crawl, os.path.join(tmpdir_path, "idx"),
         os.path.join(tmpdir_path, "kept"), os.path.join(tmpdir_path, "ckpt"),
         max_files_per_trigger=1)
-    assert sd2._base_seq >= 2
+    assert sd2._base_seq == sd._base_seq
     sd2.run_available()
     kept_after = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
     assert kept_after.count() == 5
+
+
+def test_streaming_dedup_crash_between_index_and_checkpoint(
+        spark, tmpdir_path):
+    """The one-sided crash window: the index committed an epoch's
+    fingerprints but the process died BEFORE the streaming checkpoint
+    recorded the epoch.  The restarted query replays the same epoch_id;
+    the persisted clock base must map it to the SAME batch_seq so the
+    ``commit_lsn < batch_seq`` probe excludes the epoch's own
+    registrations and the original kept set is re-derived — not an
+    empty overwrite of ``out_dir/epoch=N``."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        StreamingDeduper)
+
+    crawl = os.path.join(tmpdir_path, "crawl")
+    _docs(spark, BATCH1).coalesce(1).write.mode("append").parquet(crawl)
+    args = (spark, crawl, os.path.join(tmpdir_path, "idx"),
+            os.path.join(tmpdir_path, "kept"),
+            os.path.join(tmpdir_path, "ckpt"))
+
+    sd = StreamingDeduper(*args)
+    # Simulate the crash window by invoking the foreachBatch body
+    # directly: the index + output commit happens, the streaming
+    # checkpoint never sees epoch 0.
+    sd._apply(_docs(spark, BATCH1), epoch_id=0)
+    kept_first = sorted(
+        r["doc_id"] for r in spark.read.parquet(
+            os.path.join(tmpdir_path, "kept")).collect())
+    assert kept_first == [1, 2, 4]
+
+    # Restart: a fresh instance over the same checkpoint dir replays
+    # epoch 0.  Pre-fix, _base_seq was recomputed from the index (now
+    # nonzero), epoch 0 mapped to a LARGER seq, the probe saw the
+    # epoch's own fps, and the replay overwrote epoch=0 with nothing.
+    sd2 = StreamingDeduper(*args)
+    assert sd2._base_seq == sd._base_seq
+    sd2._apply(_docs(spark, BATCH1), epoch_id=0)
+    kept_replay = sorted(
+        r["doc_id"] for r in spark.read.parquet(
+            os.path.join(tmpdir_path, "kept")).collect())
+    assert kept_replay == [1, 2, 4]
+    # and the index registered nothing twice
+    assert sd2.dedup.index.read().count() == 3
+
+
+def test_streaming_dedup_fresh_checkpoint_sees_existing_index(
+        spark, tmpdir_path):
+    """A RESET checkpoint (new dir, epoch ids restart at 0) over an
+    existing index seeds a new base from the index's max registered
+    seq, so early epochs still treat prior history as prior."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        StreamingDeduper)
+
+    crawl = os.path.join(tmpdir_path, "crawl")
+    _docs(spark, BATCH1).coalesce(1).write.mode("append").parquet(crawl)
+    idx = os.path.join(tmpdir_path, "idx")
+    sd = StreamingDeduper(spark, crawl, idx,
+                          os.path.join(tmpdir_path, "kept"),
+                          os.path.join(tmpdir_path, "ckpt"))
+    sd._apply(_docs(spark, BATCH1), epoch_id=0)
+
+    sd2 = StreamingDeduper(spark, crawl, idx,
+                           os.path.join(tmpdir_path, "kept2"),
+                           os.path.join(tmpdir_path, "ckpt2"))
+    assert sd2._base_seq >= 1
+    sd2._apply(_docs(spark, [(40, "the quick brown fox"),
+                             (41, "fresh doc")]), epoch_id=0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(
+        os.path.join(tmpdir_path, "kept2")).collect())
+    assert kept == [41]
+
+
+def test_open_existing_index_propagates_read_errors(spark, tmpdir_path):
+    """A transient manifest read failure on an EXISTING index must
+    propagate, never silently re-create the table (which would discard
+    the fingerprint history)."""
+    path = os.path.join(tmpdir_path, "ie")
+    IncrementalDeduper(spark, path, n_buckets=2).process_batch(
+        _docs(spark, BATCH1), "doc_id", "text", 1)
+    # corrupt the current manifest: open must now raise, not re-create
+    from debezium_connector_db2_spark.lake import LakeTable
+    t = LakeTable(spark, path)
+    v = t.current_version()
+    mpath = os.path.join(t.path, "_manifests", f"v{v}.json")
+    with open(mpath, "w") as f:
+        f.write("{torn")
+    with pytest.raises(Exception):
+        IncrementalDeduper(spark, path, n_buckets=2)
+    # version pointer untouched — no destructive reset to v0
+    assert t.current_version() == v

@@ -88,3 +88,29 @@ def test_duckdb_twin_byte_identical(spark, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert tuple(g) == pytest.approx(tuple(w)), (g, w)
+
+
+def test_custom_required_words_escaped_and_empty_ok(spark, tmp_path):
+    """ADVICE r6: custom required_words with regex metacharacters or
+    quotes must match literally (both sides), and an empty list must
+    yield required_hits = 0 instead of crashing."""
+    docs = [(0, "price is 5.99 today and isn't that nice"),
+            (1, "price is 5x99 today")]   # must NOT match literal "5.99"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    words = ["5.99", "isn't"]
+    got = {r.doc_id: r.required_hits for r in gopher_quality(
+        df, "doc_id", required_words=words).collect()}
+    assert got == {0: 2, 1: 0}
+
+    empty = gopher_quality(df, "doc_id", required_words=[]).collect()
+    assert all(r.required_hits == 0 for r in empty)
+
+    # DuckDB twin stays valid SQL and byte-identical
+    p = str(tmp_path / "specdocs.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    sql = gopher_quality_sql(f"read_parquet('{p}/*.parquet')", "doc_id",
+                             required_words=words)
+    want = {r[0]: r[7] for r in con.execute(sql).fetchall()}
+    assert want == got

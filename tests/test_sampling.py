@@ -81,3 +81,54 @@ def test_stratified_sample_default_rate_and_validation(spark):
         stratified_sample(df, "doc_id", "stratum", {"x": 1.5})
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, "doc_id", "stratum", {}, default_rate=-0.1)
+
+
+def test_sql_twins_escape_quoted_keys(spark, tmp_path):
+    """ADVICE r6: stratum/split/domain names containing a single quote
+    must render as valid SQL in the DuckDB twins and keep byte parity
+    with the Spark side."""
+    import duckdb
+
+    from debezium_connector_db2_spark.operators.sampling import (
+        hash_split_sql,
+        mixture_sample,
+        mixture_sample_sql,
+        stratified_sample_sql,
+    )
+
+    rows = [(i, "o'brien" if i % 2 == 0 else "plain", 10 + i % 5)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, stratum string, n_tok long")
+    p = str(tmp_path / "qdocs.parquet")
+    df.write.parquet(p)
+    rel = f"read_parquet('{p}/*.parquet')"
+    con = duckdb.connect()
+
+    # stratified: quoted key rate honored on both sides
+    rates = {"o'brien": 1.0, "plain": 0.25}
+    kept = sorted(r.doc_id for r in stratified_sample(
+        spark.read.parquet(p), "doc_id", "stratum", rates, seed=5).collect())
+    pred = stratified_sample_sql("doc_id", "stratum", rates, seed=5)
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM {rel} WHERE {pred}").fetchall())
+    assert kept == want and len(kept) > 200
+
+    # hash_split: quoted split names round-trip
+    w = [("tr'ain", 0.7), ("te'st", 0.3)]
+    got = {r.doc_id: r.split for r in hash_split(
+        spark.read.parquet(p), "doc_id", w, seed=5).collect()}
+    case = hash_split_sql("doc_id", w, seed=5)
+    wantmap = dict(con.execute(
+        f"SELECT doc_id, {case} FROM {rel}").fetchall())
+    assert got == wantmap and set(got.values()) == {"tr'ain", "te'st"}
+
+    # mixture: quoted domain in the VALUES rate table
+    shares = {"o'brien": 0.5, "plain": 0.5}
+    got_m = sorted(tuple(r) for r in mixture_sample(
+        spark.read.parquet(p), "doc_id", "stratum", shares,
+        "n_tok", seed=5).collect())
+    sql = mixture_sample_sql(rel, "doc_id", "stratum", shares,
+                             "n_tok", seed=5)
+    want_m = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got_m == want_m
