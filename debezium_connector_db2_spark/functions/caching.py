@@ -118,3 +118,30 @@ def pinned(*deps: DataFrame):
                 d.unpersist()
             except Exception:
                 pass
+
+
+#: name of the attribute holding strong lifetime references on a result
+_TIE_ATTR = "_cdc_lifetime_refs"
+
+
+def tie_lifetime(derived: DataFrame, *sources) -> DataFrame:
+    """Keep ``sources`` alive for as long as ``derived`` is referenced.
+
+    For operators whose result is backed by *external state scoped to a
+    returned object* — e.g. :func:`~debezium_connector_db2_spark.operators.dedup_text.dedup_clusters`
+    ties its label-spill scratch directory (rmtree finalizer) to its
+    returned DataFrame.  A consumer that derives from such a result and
+    drops the original would fire the finalizer before the derived plan
+    ever runs; ``tie_lifetime`` holds strong references (including any
+    refs the sources themselves carry, so ties chain through multiple
+    derivation levels) on the derived object instead.
+    """
+    refs = []
+    for s in sources:
+        refs.append(s)
+        refs.extend(getattr(s, _TIE_ATTR, ()))
+    try:
+        setattr(derived, _TIE_ATTR, tuple(refs))
+    except Exception:
+        pass
+    return derived

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from debezium_connector_db2_spark.functions.caching import tie_lifetime
 from debezium_connector_db2_spark.functions.text import (
     fingerprint, fingerprint_sql)
 from debezium_connector_db2_spark.operators.lm_score import (
@@ -44,8 +45,22 @@ from debezium_connector_db2_spark.operators.quality import (
 
 def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
                   max_avg_nll: float = 5.0,
-                  gopher_kwargs: dict | None = None) -> DataFrame:
-    """``(id_col, verdict)`` per input doc; see module docstring."""
+                  gopher_kwargs: dict | None = None,
+                  near_dup_kwargs: dict | None = None) -> DataFrame:
+    """``(id_col, verdict)`` per input doc; see module docstring.
+
+    ``near_dup_kwargs`` opts in the fourth stage the published funnels
+    run after exact dedup (MassiveText §A1.2, RefinedWeb §3.3):
+    minhash-LSH near-dup among the docs that survived all prior gates.
+    The kwargs are forwarded to
+    :func:`~debezium_connector_db2_spark.operators.dedup_text.minhash_lsh_pairs`
+    (``k_shingle``, ``n_hashes``, ``bands``, ``threshold``,
+    ``max_band_bucket_size``); the resulting pairs are clustered with
+    :func:`~debezium_connector_db2_spark.operators.dedup_text.dedup_clusters`
+    and every non-keeper cluster member (keeper = smallest id) gets
+    verdict ``'near_dup'``.  Stage cost is confined to the survivor
+    set — rejected docs never enter the shingle/signature work.
+    """
     meas = gopher_quality(docs, id_col, text_col=text_col,
                           keep_cols=[text_col], **(gopher_kwargs or {}))
     surv = (meas.where("passes")
@@ -57,23 +72,51 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     lm_pass = j.where(F.col("avg_nll") <= max_avg_nll)
     rn = F.row_number().over(
         Window.partitionBy("__fp").orderBy(id_col))
-    return (
+    staged = lm_pass.withColumn("__rn", rn)
+    base = (
         meas.where(~F.col("passes"))
         .select(id_col, F.lit("quality").alias("verdict"))
         .unionByName(
             j.where(F.col("avg_nll") > max_avg_nll)
             .select(id_col, F.lit("lm").alias("verdict")))
         .unionByName(
-            lm_pass.withColumn("__rn", rn)
-            .select(id_col,
-                    F.when(F.col("__rn") > 1, F.lit("dup"))
-                    .otherwise(F.lit("kept")).alias("verdict")))
+            staged.where(F.col("__rn") > 1)
+            .select(id_col, F.lit("dup").alias("verdict")))
     )
+    kept = staged.where(F.col("__rn") == 1).select(id_col)
+    if near_dup_kwargs is None:
+        return base.unionByName(
+            kept.select(id_col, F.lit("kept").alias("verdict")))
+
+    from debezium_connector_db2_spark.operators.dedup_text import (
+        dedup_clusters, minhash_lsh_pairs)
+
+    kept_docs = (surv.join(kept, id_col, "left_semi")
+                 .select(id_col, text_col))
+    pairs = minhash_lsh_pairs(kept_docs, id_col, text_col,
+                              **near_dup_kwargs)
+    clusters = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    near = (clusters.where(~F.col("is_keeper"))
+            .select(F.col("doc_id").alias(id_col),
+                    F.lit(True).alias("__nd")))
+    # no broadcast hint: the near-dup set scales with the corpus (web
+    # corpora run 20-50% near-dup), so let AQE pick the join strategy
+    verdict4 = (kept.join(near, id_col, "left")
+                .select(id_col,
+                        F.when(F.col("__nd"), F.lit("near_dup"))
+                        .otherwise(F.lit("kept")).alias("verdict")))
+    # dedup_clusters scopes its label-spill scratch dir (and cache pins)
+    # to ITS returned object; the funnel result reads those spilled
+    # files, so tie the clusters frame's lifetime to the result (and
+    # funnel_report chains the tie onto its own output).
+    return tie_lifetime(base.unionByName(verdict4), clusters)
 
 
 def funnel_report(verdicts: DataFrame) -> DataFrame:
     """Attrition counts per stage: ``(verdict, n_docs)``."""
-    return verdicts.groupBy("verdict").agg(F.count("*").alias("n_docs"))
+    return tie_lifetime(
+        verdicts.groupBy("verdict").agg(F.count("*").alias("n_docs")),
+        verdicts)
 
 
 def corpus_funnel_sql(table: str, id_col: str, text_col: str = "text",

@@ -93,6 +93,7 @@ class CdcEngine:
         datatype_propagate_source_type: str | None = None,
         column_propagate_source_type: str | None = None,
         auto_compact_files: int | None = None,
+        snapshot_overrides: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.binlog = binlog
@@ -136,6 +137,16 @@ class CdcEngine:
         #: before dedup+merge — e.g. the F7 column mask/hash/truncate
         #: transforms (operators/masking.py), the reference's SMT slot
         self.payload_transform = payload_transform
+        #: per-table snapshot SELECT overrides (S2) — ``table name ->
+        #: SQL predicate`` applied to that table's snapshot source
+        #: before the bulk load, the declarative analogue of the
+        #: reference's ``snapshot.select.statement.overrides`` config
+        #: map (``Db2ConnectorConfig.java:677-695``).  A predicate (not
+        #: a full statement) keeps it composable with Catalyst: the
+        #: filter pushes into the snapshot scan.  Tables absent from
+        #: the map snapshot unfiltered; multi-table deployments pass
+        #: the same map to every per-table engine.
+        self.snapshot_overrides = dict(snapshot_overrides or {})
         self._streaming_disabled = False
         #: signal channel polled at the top of every micro-batch iteration
         #: (the reference's SignalProcessor, Db2ConnectorTask.java:142-147);
@@ -272,6 +283,11 @@ class CdcEngine:
                          {"mode": mode, "snapshot_lsn": snapshot_lsn})
             return off
         snapshot_lsn = self.binlog.max_lsn() or 0
+        override = self.snapshot_overrides.get(self.table)
+        if override is not None:
+            # S2 config-map surface: the predicate composes BEFORE the
+            # bulk load, so Catalyst pushes it into the snapshot scan
+            source = source.where(override)
         batch_id = "snapshot"
         if mode == "always":
             import uuid as _uuid

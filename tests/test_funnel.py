@@ -90,3 +90,42 @@ def test_duckdb_twin_matches(spark, tmpdir_path):
         docs, "doc_id", "text", max_avg_nll=3.9,
         gopher_kwargs=GQ).collect())
     assert got == want
+
+
+LONG_B = LONG.replace("lazy dog", "sleepy dog").replace("open fields",
+                                                        "wide fields")
+
+
+def test_near_dup_stage(spark):
+    """Opt-in fourth stage: minhash near-dups among survivors cluster;
+    the non-keeper (larger id) gets 'near_dup', the keeper stays
+    'kept'; exact dups still resolve BEFORE the near-dup stage."""
+    docs = spark.createDataFrame(
+        [(1, LONG), (2, LONG), (3, "too short"), (5, LONG_B),
+         (7, "a completely different prose paragraph about sailing "
+             "ships crossing the wide ocean under heavy grey skies "
+             "while the crew watches the horizon for land and birds "
+             "and the captain charts a course through the long night "
+             "by the light of familiar constellations overhead")],
+        "doc_id long, text string")
+    nd = dict(k_shingle=2, n_hashes=16, bands=8, threshold=0.5)
+    v = {r["doc_id"]: r["verdict"] for r in corpus_funnel(
+        docs, "doc_id", "text", max_avg_nll=100.0,
+        gopher_kwargs=GQ, near_dup_kwargs=nd).collect()}
+    assert v == {1: "kept", 2: "dup", 3: "quality",
+                 5: "near_dup", 7: "kept"}
+    # without the opt-in, doc 5 stays kept (stage is strictly opt-in)
+    v0 = {r["doc_id"]: r["verdict"] for r in corpus_funnel(
+        docs, "doc_id", "text", max_avg_nll=100.0,
+        gopher_kwargs=GQ).collect()}
+    assert v0[5] == "kept"
+
+
+def test_near_dup_report_includes_stage(spark):
+    docs = spark.createDataFrame(
+        [(1, LONG), (5, LONG_B)], "doc_id long, text string")
+    nd = dict(k_shingle=2, n_hashes=16, bands=8, threshold=0.5)
+    rep = {r["verdict"]: r["n_docs"] for r in funnel_report(corpus_funnel(
+        docs, "doc_id", "text", max_avg_nll=100.0,
+        gopher_kwargs=GQ, near_dup_kwargs=nd)).collect()}
+    assert rep == {"kept": 1, "near_dup": 1}

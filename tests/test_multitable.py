@@ -360,3 +360,47 @@ def test_multi_feed_prune_binlog_honors_min_frontier(spark, tmpdir_path):
     # both tables' final state intact
     got = [r for r in pub.read().collect() if r.envelope is not None]
     assert len(got) == 40
+
+
+def test_snapshot_overrides_config_map(spark, tmpdir_path):
+    """S2 config-map surface: a `table -> predicate` map on CdcEngine
+    filters that table's snapshot bulk load declaratively (the
+    reference's snapshot.select.statement.overrides,
+    Db2ConnectorConfig.java:677-695); tables absent from the map
+    snapshot unfiltered, and streaming after the snapshot is
+    unaffected."""
+    snap_rows = [
+        ("a", 0, "user", "keep-a0", None, TS),
+        ("a", 1, "user", "drop-a1", None, TS),
+        ("b", 0, "user", "keep-b0", None, TS),
+    ]
+    snap = spark.createDataFrame(snap_rows, TRANSCRIPT_SCHEMA)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=8)
+
+    overrides = {"tablea": "text LIKE 'keep-%'"}
+    engines = {}
+    for name in ("tablea", "tableb"):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, name),
+                             TRANSCRIPT_SCHEMA, bucket_by="conv_id",
+                             n_buckets=2)
+        engines[name] = CdcEngine(spark, src, t,
+                                  os.path.join(tmpdir_path, f"ck-{name}"),
+                                  table=name, snapshot_overrides=overrides)
+        engines[name].snapshot_load(snap)
+
+    # post-snapshot change: streaming is unaffected by the override
+    src.write(spark.createDataFrame(
+        [_row(1, 0, "I", "tablea", "a", 2, "streamed-a2")], BINLOG_SCHEMA))
+    for eng in engines.values():
+        eng.run_available()
+
+    a = {(r.conv_id, r.turn_idx): r.text
+         for r in engines["tablea"].target.read().collect()}
+    b = {(r.conv_id, r.turn_idx): r.text
+         for r in engines["tableb"].target.read().collect()}
+    # tablea: filtered snapshot (drop-a1 excluded) + streamed row
+    assert a == {("a", 0): "keep-a0", ("b", 0): "keep-b0",
+                 ("a", 2): "streamed-a2"}
+    # tableb: no override -> full snapshot
+    assert b == {("a", 0): "keep-a0", ("a", 1): "drop-a1",
+                 ("b", 0): "keep-b0"}

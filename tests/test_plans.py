@@ -183,3 +183,36 @@ def test_filtered_ann_pushes_label_predicate(spark):
     df = entrymod.extra_queries()["ann_filtered_topk"](spark, SF)
     assert has_pushed_filter(df, "LessThanOrEqual(label,2)"), \
         formatted_plan(df)[:2000]
+
+
+def test_filtered_ivf_pushes_label_and_bounds_probes(spark):
+    """Filtered ANN in the IVF shape: the label predicate must reach
+    the parquet scan (items are filtered BEFORE cell assignment), and
+    candidate generation must stay a cell equi-join — never a
+    nested-loop over all surviving items per query."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ann_filtered_ivf"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "LessThanOrEqual(label,2)"), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_ivf_recall_vs_brute(spark):
+    """The IVF-composed filtered row must agree with the filtered
+    brute-force baseline on most of the true top-k (recall is the only
+    quality axis LSH/IVF trade; precision is exact by construction)."""
+    import __spark_entry__ as entrymod
+
+    brute = entrymod.queries()["ann_filtered_topk"](spark, SF)
+    ivf = entrymod.queries()["ann_filtered_ivf"](spark, SF)
+    want = {(r.query_id, r.item_id) for r in brute.collect()}
+    got = {(r.query_id, r.item_id) for r in ivf.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"recall {recall:.2f} ({len(want)} true pairs)"
+    # every IVF hit is a genuinely filtered item (label pushed, not
+    # post-filtered): cross-check against the raw table
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    ok_items = {r.vec_id for r in emb.where("label <= 2").collect()}
+    assert all(i in ok_items for _, i in got)
