@@ -219,12 +219,19 @@ def bench_cdc_replay(spark: SparkSession, n_ops: int, work_dir: str,
 
 
 def bench_streaming(spark: SparkSession, n_ops: int, work_dir: str,
-                    n_triggers: int = 4) -> dict:
+                    n_triggers: int = 4, merge_mode: str = "cow") -> dict:
     """The Structured Streaming path (stream.py's real StreamingQuery,
     foreachBatch MERGE into a versioned table) at the 1x point — a
     10^10-event deployment runs THIS loop, so its throughput including
     trigger/checkpoint overhead is a graded cell, not just a pytest.
-    Cold + warm passes; events/s over the whole availableNow drain."""
+    Cold + warm passes; events/s over the whole availableNow drain.
+
+    ``merge_mode='mor'`` benches the foreachBatch → MoR delta-append
+    shape (per-batch write cost O(batch), read-time latest-resolution)
+    — the deployment shape for the 10^10 target; the reported dict adds
+    ``read_s`` (one full latest-resolved read after the drain, the MoR
+    read path's honest price) and folds one ``compact()`` into the
+    drain timing as the amortized maintenance cost."""
     from debezium_connector_db2_spark.lake import LakeTable
     from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
     from debezium_connector_db2_spark.sources.binlog import BinlogSource
@@ -250,10 +257,15 @@ def bench_streaming(spark: SparkSession, n_ops: int, work_dir: str,
     per_trigger = max(n_files // n_triggers, 1)
 
     def one(tag: str) -> dict:
+        from debezium_connector_db2_spark.schemas import PK_COLS
+
+        mor = merge_mode == "mor"
+        kwargs = (dict(merge_mode="mor", key_cols=list(PK_COLS))
+                  if mor else {})
         target = LakeTable.create(
             spark, os.path.join(work_dir, f"st-{tag}"), TRANSCRIPT_SCHEMA,
             bucket_by="conv_id", n_buckets=max(CPUS * 2, 16),
-            versioned=True,
+            versioned=True, **kwargs,
         )
         target.overwrite(snap, batch_id="snapshot")
         s = StreamingCdc(spark, bl_dir, target,
@@ -261,17 +273,25 @@ def bench_streaming(spark: SparkSession, n_ops: int, work_dir: str,
                          max_files_per_trigger=per_trigger)
         t0 = time.time()
         s.run_available()
+        if mor:
+            target.compact()    # amortized maintenance, timed in
         sec = time.time() - t0
+        t1 = time.time()
         rows = target.read().count()
+        read_s = time.time() - t1
         shutil.rmtree(os.path.join(work_dir, f"st-{tag}"), ignore_errors=True)
         shutil.rmtree(os.path.join(work_dir, f"sck-{tag}"), ignore_errors=True)
-        return {"tag": tag, "sec": round(sec, 2),
-                "events_per_sec": round(n_events / sec, 1),
-                "final_rows": rows}
+        out = {"tag": tag, "sec": round(sec, 2),
+               "events_per_sec": round(n_events / sec, 1),
+               "final_rows": rows}
+        if mor:
+            out["read_s"] = round(read_s, 2)
+        return out
 
     cold = one("cold")
     warm = one("warm")
     return {
+        "merge_mode": merge_mode,
         "n_change_events": n_events,
         "n_files": n_files,
         "max_files_per_trigger": per_trigger,
@@ -357,16 +377,14 @@ def _build_scaled_corpus(spark: SparkSession, sf_dir: str, work_dir: str,
     return out, n_docs * mult, n_vecs * mult
 
 
-def bench_scaled_queries(spark: SparkSession, sf_dir: str,
-                         work_dir: str) -> dict:
+def bench_scaled_queries(spark: SparkSession, scaled_dir: str,
+                         n_docs: int, n_vecs: int) -> dict:
     """Time SCALED_QUERIES on the mult× corpus (same cold + warm-floor
     protocol as bench_queries, N_WARM_SCALED warm passes) so each round
     records the dedup/ANN scaling curve: floor(sf0.1) vs
     floor(mult × sf0.1)."""
     import __spark_entry__ as entrymod
 
-    scaled_dir, n_docs, n_vecs = _build_scaled_corpus(
-        spark, sf_dir, work_dir, DOC_SCALE_MULT)
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
     passes = [{} for _ in range(1 + N_WARM_SCALED)]
     for out in passes:
@@ -391,6 +409,99 @@ def bench_scaled_queries(spark: SparkSession, sf_dir: str,
 #: index; per-batch wall time should stay ~flat while the index grows
 #: (the O(batch)-per-batch claim vs O(history) rescans).
 N_INCR_BATCHES = max(3, int(os.environ.get("SPARK_GRAFT_INCR_BATCHES", "9")))
+
+
+#: SemDeDup warm passes (1 cold + N warm per corpus point)
+N_WARM_SEMDEDUP = max(1, int(os.environ.get("SPARK_GRAFT_SEMDEDUP_PASSES",
+                                            "2")))
+
+
+def bench_semdedup_scale(spark: SparkSession, sf_dir: str,
+                         scaled_dir: str) -> dict:
+    """SemDeDup in the paper's regime: ``n_cells`` grows WITH the
+    corpus so mean cell size stays fixed (Abbas et al. 2023 run ~100k
+    cells; the graded oracle row uses a toy n_cells=8 where the in-cell
+    quadratic is benign).  Two corpus points — 1× with C cells and
+    mult× with mult·C cells — reporting wall-time floors AND the
+    in-cell candidate-pair counts; candidates *per row* staying ~flat
+    is the evidence that raising n_cells bounds the method's intrinsic
+    O(n_cells × (n/n_cells)²) as the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from debezium_connector_db2_spark.operators.similarity import semdedup
+
+    target_mean_cell = 64
+    points = []
+    for tag, d in (("1x", sf_dir), (f"{DOC_SCALE_MULT}x", scaled_dir)):
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = emb.count()
+        cells = max(n // target_mean_cell, 8)
+        times = []
+        out = None
+        for _ in range(1 + N_WARM_SEMDEDUP):
+            t0 = time.time()
+            out = semdedup(emb, n_cells=cells, threshold=0.95, seed=11)
+            out.count()
+            times.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        # in-cell candidate pairs from the final pass' cell occupancy
+        sizes = (out.groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        cand = sum(r["n"] * (r["n"] - 1) // 2 for r in sizes)
+        points.append({
+            "tag": tag, "n_vecs": n, "n_cells": cells,
+            "mean_cell": round(n / max(len(sizes), 1), 1),
+            "max_cell": max((r["n"] for r in sizes), default=0),
+            "in_cell_candidates": cand,
+            "candidates_per_row": round(cand / n, 2),
+            "cold_s": times[0],
+            "floor_s": min(times[1:]),
+        })
+    p1, p8 = points
+    return {
+        "target_mean_cell": target_mean_cell,
+        "points": points,
+        "candidates_per_row_ratio": round(
+            p8["candidates_per_row"] / max(p1["candidates_per_row"], 1e-9),
+            2),
+        "floor_ratio": round(p8["floor_s"] / max(p1["floor_s"], 1e-9), 2),
+    }
+
+
+def bench_substring_cap(spark: SparkSession, scaled_dir: str) -> dict:
+    """dedup_substring's one documented skew hazard, measured: the mult×
+    corpus with and without the ``max_df`` boilerplate cap (window
+    hashes shared by more than max_df docs are dropped before the
+    inverted-index join), with the drop accounting alongside — the
+    corpus-scale caller's evidence for turning the cap on."""
+    import __spark_entry__ as entrymod
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+    k = entrymod.SUBSTR_K
+    # cap below the scaled corpus' copy multiplicity: windows shared by
+    # more than mult/2 docs are the cross-copy boilerplate the cap
+    # exists to drop (a cap above the multiplicity would never fire
+    # here and only measure the df-count overhead)
+    cap = max(DOC_SCALE_MULT // 2, 2)
+    out = {"k": k, "max_df": cap}
+    for tag, max_df in (("uncapped", None), ("capped", cap)):
+        stats: dict = {}
+        times = []
+        n_pairs = 0
+        for _ in range(2):      # 1 cold + 1 warm
+            t0 = time.time()
+            pairs = substring_pairs(
+                docs, "doc_id", "text", k=k, max_df=max_df,
+                drop_stats=stats if max_df is not None else None)
+            n_pairs = pairs.count()
+            times.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        out[tag] = {"cold_s": times[0], "warm_s": times[1],
+                    "pairs": n_pairs, **stats}
+    return out
 
 
 def bench_incremental_dedup(spark: SparkSession, sf_dir: str,
@@ -467,8 +578,17 @@ def main():
         os.makedirs(sd, exist_ok=True)
         streaming = bench_streaming(spark, n_ops, sd)
         shutil.rmtree(sd, ignore_errors=True)
+        sd2 = os.path.join(work, "stream-mor")
+        os.makedirs(sd2, exist_ok=True)
+        streaming_mor = bench_streaming(spark, n_ops, sd2, merge_mode="mor")
+        shutil.rmtree(sd2, ignore_errors=True)
         queries, queries_warm, queries_floor = bench_queries(spark, SF_DIR)
-        queries_scaled = bench_scaled_queries(spark, SF_DIR, work)
+        scaled_dir, n_docs_scaled, n_vecs_scaled = _build_scaled_corpus(
+            spark, SF_DIR, work, DOC_SCALE_MULT)
+        queries_scaled = bench_scaled_queries(
+            spark, scaled_dir, n_docs_scaled, n_vecs_scaled)
+        semdedup_scale = bench_semdedup_scale(spark, SF_DIR, scaled_dir)
+        substring_cap = bench_substring_cap(spark, scaled_dir)
         incr_dir = os.path.join(work, "incr")
         os.makedirs(incr_dir, exist_ok=True)
         incr = bench_incremental_dedup(spark, SF_DIR, incr_dir)
@@ -495,6 +615,9 @@ def main():
             "cdc_detail": cdc,
             "scale_points": scale_points,
             "cdc_streaming": streaming,
+            "cdc_streaming_mor": streaming_mor,
+            "semdedup_scale": semdedup_scale,
+            "substring_cap": substring_cap,
             "incremental_dedup": incr,
         }
         detail_path = os.path.join(HERE, "BENCH_DETAIL.json")
@@ -523,6 +646,22 @@ def main():
                 **queries_scaled["floor"],
             },
             "streaming_eps": streaming["events_per_sec"],
+            "streaming_mor_eps": streaming_mor["events_per_sec"],
+            "streaming_mor_read_s": streaming_mor["warm"].get("read_s"),
+            "semdedup": {
+                "cells": [p["n_cells"] for p in semdedup_scale["points"]],
+                "cand_per_row": [p["candidates_per_row"]
+                                 for p in semdedup_scale["points"]],
+                "floor_s": [p["floor_s"]
+                            for p in semdedup_scale["points"]],
+                "cand_ratio": semdedup_scale["candidates_per_row_ratio"],
+            },
+            "substr_cap": {
+                "uncapped_s": substring_cap["uncapped"]["warm_s"],
+                "capped_s": substring_cap["capped"]["warm_s"],
+                "dropped_wh": substring_cap["capped"].get(
+                    "dropped_window_hashes"),
+            },
             "incr_dedup": {"batches": incr["batches"],
                            "early_s": incr["early_floor_s"],
                            "late_s": incr["late_floor_s"],

@@ -331,6 +331,86 @@ class LakeTable:
                   "altered: string, dropped: string, "
                   "columns: array<string>")
 
+    #: Spark type -> (JDBC type code, DB2-style type name) for the
+    #: Connect-format history export (java.sql.Types constants; the
+    #: public JDBC standard)
+    _CONNECT_TYPES = {
+        "string": (12, "VARCHAR"), "long": (-5, "BIGINT"),
+        "integer": (4, "INTEGER"), "short": (5, "SMALLINT"),
+        "double": (8, "DOUBLE"), "float": (7, "REAL"),
+        "boolean": (16, "BOOLEAN"), "date": (91, "DATE"),
+        "timestamp": (93, "TIMESTAMP"), "binary": (2004, "BLOB"),
+    }
+
+    def connect_schema_history(self, server: str = "cdc",
+                               database: str = "TESTDB",
+                               schema_name: str = "DB0") -> list[dict]:
+        """The schema history rendered as Kafka-Connect-style
+        schema-change records — one dict per schema version, in the
+        documented shape of Debezium's schema-history/schema-change
+        topic (``source``/``position``/``tableChanges`` with a
+        ``TableChanges``-style table struct), so a consumer migrating
+        off the reference's history topic
+        (``Db2DatabaseSchema.java:51-71``) can replay this table's
+        evolution without parsing the lake manifest.
+
+        Faithful simplifications, documented rather than faked:
+        ``ddl`` is ``null`` (the reference's DB2 connector registers no
+        DDL parser — ``getDdlParser()`` returns null — so its records
+        carry null DDL too), and ``position`` is the lake's own
+        coordinate system (``schema_version``) rather than an LSN,
+        exactly as each connector family defines its own position keys.
+        Version 0 is the CREATE record; every subsequent version is an
+        ALTER.
+        """
+        tid = f'"{database}"."{schema_name}"."{self.table_name()}"'
+        m = self.manifest()
+        pk = m.get("key_cols") or [m["bucket_by"]]
+        records = []
+        for sv in self.schema_versions(m):
+            cols = []
+            for i, f in enumerate(sv.struct.fields):
+                tname = f.dataType.typeName()
+                if tname.startswith("decimal"):
+                    jdbc, dbt = 3, "DECIMAL"
+                else:
+                    jdbc, dbt = self._CONNECT_TYPES.get(
+                        tname, (1111, tname.upper()))  # 1111 = OTHER
+                cols.append({
+                    "name": f.name,
+                    "jdbcType": jdbc,
+                    "typeName": dbt,
+                    "typeExpression": dbt,
+                    "charsetName": None,
+                    "position": i + 1,
+                    "optional": bool(f.nullable),
+                    "autoIncremented": False,
+                    "generated": False,
+                })
+            records.append({
+                "source": {"server": server},
+                "position": {"schema_version": sv.version,
+                             "snapshot": sv.version == 0},
+                "databaseName": database,
+                "schemaName": schema_name,
+                "ddl": None,
+                "tableChanges": [{
+                    "type": "CREATE" if sv.version == 0 else "ALTER",
+                    "id": tid,
+                    "table": {
+                        "defaultCharsetName": None,
+                        "primaryKeyColumnNames": list(pk),
+                        "columns": cols,
+                    },
+                }],
+            })
+        return records
+
+    def table_name(self) -> str:
+        """Logical table identity: the path leaf (the repo keys capture
+        tables by name throughout, SURVEY §2.8)."""
+        return os.path.basename(os.path.normpath(self.path))
+
     def recover_schema_history(self) -> T.StructType:
         """Rebuild a lost/corrupted schema-version manifest from the data
         files' parquet footers — the lake half of the reference's

@@ -420,6 +420,8 @@ def semdedup(
     n_cells: int = 8, threshold: float = 0.95, seed: int = 11,
     round_to: int = 4, refine_iters: int = 0,
     max_literal_centroid_terms: int = 10_000,
+    max_cell_size: int | None = None,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via embedding clusters — the sixth dedup family, the
@@ -444,6 +446,19 @@ def semdedup(
     — at 10^10 vectors you raise ``n_cells`` (the paper runs ~100k
     clusters), which *reduces* per-cell work; nothing here is all-pairs
     across cells.
+
+    ``max_cell_size`` is the family's degenerate-cell skew guard (same
+    opt-in contract as ``minhash_lsh_pairs``'s band-bucket cap): a cell
+    of B members costs B²/2 in-cell comparisons, so a quantizer that
+    collapses (too few cells for the corpus, or a degenerate centroid
+    attracting everything) turns the intrinsic per-cell quadratic into
+    an effective all-pairs.  Cells over the cap are EXCLUDED from the
+    pairwise stage — their members all keep, no silent partial dedup —
+    and ``drop_stats={}`` gets ``dropped_cells`` / ``dropped_rows`` /
+    ``max_cell_seen`` filled in and logged.  The library default is
+    ``None`` (uncapped, the paper's exact semantics); corpus-scale
+    callers size ``n_cells`` so mean cell size stays fixed and set the
+    cap as the safety valve.
 
     Output: ``(id_col, cell, cell_cos, keep)`` — one row per input row.
     """
@@ -480,10 +495,35 @@ def semdedup(
 
     w = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc("item_id"))
     ranked = it.withColumn("rnk", F.row_number().over(w))
-    a = ranked.select(F.col("cell"), F.col("ivec").alias("va"),
-                      F.col("rnk").alias("rnk_a"))
-    b = ranked.select(F.col("cell"), F.col("item_id").alias("dropped"),
-                      F.col("ivec").alias("vb"), F.col("rnk").alias("rnk_b"))
+    pairable = ranked
+    if max_cell_size is not None:
+        # per-cell count table is tiny (≤ n_cells rows); AQE broadcasts
+        counts = (ranked.groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("__cn")))
+        keep_cells = (counts.where(F.col("__cn") <= max_cell_size)
+                      .select("cell"))
+        pairable = ranked.join(keep_cells, "cell", "left_semi")
+        if drop_stats is not None:
+            import logging
+
+            over = (counts.agg(
+                F.count(F.when(F.col("__cn") > max_cell_size, 1))
+                .alias("c"),
+                F.sum(F.when(F.col("__cn") > max_cell_size,
+                             F.col("__cn"))).alias("r"),
+                F.max("__cn").alias("m")).collect()[0])
+            drop_stats["dropped_cells"] = over["c"]
+            drop_stats["dropped_rows"] = int(over["r"] or 0)
+            drop_stats["max_cell_seen"] = int(over["m"] or 0)
+            if over["c"]:
+                logging.getLogger(__name__).warning(
+                    "semdedup: %d cells over cap %d excluded from "
+                    "pairwise (%d rows keep by default)", over["c"],
+                    max_cell_size, over["r"])
+    a = pairable.select(F.col("cell"), F.col("ivec").alias("va"),
+                        F.col("rnk").alias("rnk_a"))
+    b = pairable.select(F.col("cell"), F.col("item_id").alias("dropped"),
+                        F.col("ivec").alias("vb"), F.col("rnk").alias("rnk_b"))
     drops = (a.join(b, "cell")
              .where(F.col("rnk_a") < F.col("rnk_b"))
              .where(F.round(cosine_expr(F.col("va"), F.col("vb")),

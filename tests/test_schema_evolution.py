@@ -336,3 +336,56 @@ def test_drop_column_protects_keys_and_is_idempotent(spark, tmpdir_path):
     assert "tool" not in [f.name for f in t.schema().fields]
     t.drop_column("tool")                   # replayed DDL — no-op
     assert t.current_version() == v + 1
+
+
+def test_connect_schema_history_export(spark, tmpdir_path):
+    """Missing-item closure (r6 verdict #4): the lake's historized
+    schema versions render as Kafka-Connect-style schema-change
+    records (Debezium history-topic shape: source/position/
+    tableChanges with a column struct per version), so a consumer of
+    the reference's history topic has a migration-compatible export."""
+    import os
+
+    from debezium_connector_db2_spark.lake import LakeTable
+    from debezium_connector_db2_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "transcripts"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    t.add_column("priority", "int", default=3)
+    t.rename_column("priority", "rank")
+
+    recs = t.connect_schema_history(server="srv1", database="TESTDB",
+                                    schema_name="DB2INST1")
+    assert len(recs) == 3
+    create, alter1, alter2 = recs
+    assert create["tableChanges"][0]["type"] == "CREATE"
+    assert create["position"] == {"schema_version": 0, "snapshot": True}
+    assert all(r["tableChanges"][0]["type"] == "ALTER" for r in recs[1:])
+    assert all(r["ddl"] is None for r in recs)           # no DDL parser,
+    # exactly like the reference (Db2DatabaseSchema.getDdlParser -> null)
+    assert all(r["source"] == {"server": "srv1"} for r in recs)
+    tid = '"TESTDB"."DB2INST1"."transcripts"'
+    assert all(r["tableChanges"][0]["id"] == tid for r in recs)
+
+    def colnames(r):
+        return [c["name"] for c in r["tableChanges"][0]["table"]["columns"]]
+
+    base = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    assert colnames(create) == base
+    assert colnames(alter1) == base + ["priority"]
+    assert colnames(alter2) == base + ["rank"]
+
+    # column structs carry JDBC type codes and 1-based positions
+    c0 = create["tableChanges"][0]["table"]["columns"][0]
+    assert c0["position"] == 1 and isinstance(c0["jdbcType"], int)
+    added = alter1["tableChanges"][0]["table"]["columns"][-1]
+    assert added == {"name": "priority", "jdbcType": 4,
+                     "typeName": "INTEGER", "typeExpression": "INTEGER",
+                     "charsetName": None,
+                     "position": len(base) + 1, "optional": True,
+                     "autoIncremented": False, "generated": False}
+    assert (create["tableChanges"][0]["table"]["primaryKeyColumnNames"]
+            == ["conv_id"])
+    # the whole record set is JSON-serializable (a topic export)
+    import json
+    json.dumps(recs)

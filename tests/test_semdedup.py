@@ -98,3 +98,42 @@ def test_duckdb_twin_byte_identical(spark, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert tuple(g) == pytest.approx(tuple(w)), (g, w)
+
+
+def test_cell_size_cap_and_drop_stats(spark):
+    """Opt-in degenerate-cell skew guard (same contract as the minhash
+    band-bucket cap): cells over max_cell_size are excluded from the
+    pairwise stage — all their members keep — and drop_stats reports
+    what was skipped; uncapped behavior is unchanged."""
+    df = _corpus(spark)
+    base = {r.vec_id: r for r in semdedup(
+        df, n_cells=4, threshold=0.99, seed=3).collect()}
+    sizes = {}
+    for r in base.values():
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+    cap = sorted(sizes.values())[0]     # cap below the largest cell(s)
+    assert max(sizes.values()) > cap
+
+    stats = {}
+    capped = {r.vec_id: r for r in semdedup(
+        df, n_cells=4, threshold=0.99, seed=3,
+        max_cell_size=cap, drop_stats=stats).collect()}
+    assert len(capped) == len(base)     # still one row per input row
+    over = {c for c, n in sizes.items() if n > cap}
+    assert stats["dropped_cells"] == len(over)
+    assert stats["dropped_rows"] == sum(sizes[c] for c in over)
+    assert stats["max_cell_seen"] == max(sizes.values())
+    for vid, r in capped.items():
+        if r.cell in over:
+            assert r.keep, (vid, r)     # over-cap cells: everyone keeps
+        else:
+            assert r.keep == base[vid].keep, (vid, r)
+
+    # a cap above every cell is a no-op and reports zero drops
+    stats2 = {}
+    nodrop = {r.vec_id: r.keep for r in semdedup(
+        df, n_cells=4, threshold=0.99, seed=3,
+        max_cell_size=10_000, drop_stats=stats2).collect()}
+    assert stats2 == {"dropped_cells": 0, "dropped_rows": 0,
+                      "max_cell_seen": max(sizes.values())}
+    assert nodrop == {vid: r.keep for vid, r in base.items()}
