@@ -133,6 +133,34 @@ def main():
         substring_pairs(docs, "doc_id", "text", k=8),
     ))
 
+    import __spark_entry__ as entrymod
+
+    sections.append((
+        "Metadata-filtered ANN — IVF shape (round 7)",
+        "The label predicate is in `PushedFilters` on the item scan "
+        "(items filtered BEFORE centroid selection and cell "
+        "assignment), and candidate generation is the cell equi-join — "
+        "probing cost stays nprobe/n_cells of the SURVIVING corpus, "
+        "never a per-query scan.",
+        entrymod.queries()["ann_filtered_ivf"](spark, SF),
+    ))
+
+    from debezium_connector_db2_spark.operators.funnel import corpus_funnel
+
+    sections.append((
+        "Funnel with near-dup stage (round 7)",
+        "The opt-in fourth stage confines minhash-LSH + label "
+        "propagation to the survivor set; the verdict join back is an "
+        "id equi-join with no broadcast hint (the near-dup set scales "
+        "with the corpus, AQE picks the strategy).",
+        corpus_funnel(docs, "doc_id", "text", max_avg_nll=3.5,
+                      gopher_kwargs=dict(min_words=10,
+                                         min_required_hits=1),
+                      near_dup_kwargs=dict(k_shingle=2, n_hashes=16,
+                                           bands=4, threshold=0.2,
+                                           max_band_bucket_size=400)),
+    ))
+
     out = ["# PLANS — physical plans of the load-bearing kernels",
            "",
            "Generated by `scripts/dump_plans.py` (plan-shape properties are",
