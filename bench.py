@@ -64,6 +64,8 @@ HEADLINE = [
     "text_lm_score",
     "dedup_substring",
     "text_funnel",
+    "text_funnel_near",
+    "ann_filtered_ivf",
 ]
 
 #: CDC end-to-end is measured at these multiples of the base op count —
@@ -337,7 +339,8 @@ DOC_SCALE_MULT = int(os.environ.get("SPARK_GRAFT_DOC_SCALE_MULT", "8"))
 SCALED_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                   "dedup_cluster_keepers", "dedup_conversations_near",
                   "dedup_embedding_cosine", "ann_ivf_topk",
-                  "text_lm_score", "dedup_substring", "text_funnel"]
+                  "text_lm_score", "dedup_substring", "text_funnel",
+                  "text_funnel_near"]
 N_WARM_SCALED = max(1, int(os.environ.get("SPARK_GRAFT_SCALED_PASSES", "2")))
 
 

@@ -339,6 +339,13 @@ class CdcEngine:
         if not self.target.manifest().get("versioned", False):
             raise ValueError("incremental_snapshot requires a versioned target "
                              "(LakeTable.create(..., versioned=True))")
+        override = self.snapshot_overrides.get(self.table)
+        if override is not None:
+            # the S2 override map applies to every snapshot read the
+            # engine performs, chunked backfills included (the
+            # reference's overrides are consulted on each snapshot
+            # SELECT, Db2ConnectorConfig.java:677-695)
+            source = source.where(override)
         pk0 = self.pk_cols[0]
         applied = 0
         self._notify("Incremental Snapshot", "STARTED",

@@ -221,8 +221,10 @@ class FeedPublisher:
         **Cost note:** ``ordered=True`` ends in a global sort over
         whatever matched — fine for a suffix read (a handful of tail
         segments), but a *full-history* read of a large feed becomes a
-        total sort of the topic; pass ``ordered=False`` there and order
-        per partition downstream."""
+        total sort of the topic; for that case use
+        :meth:`read_segmented`, which exploits segment disjointness to
+        avoid the exchange entirely, or pass ``ordered=False`` and
+        order per partition downstream."""
         segs = self.segments(from_lsn)
         if not segs:
             raise ValueError(f"feed {self.dir} has no published segments"
@@ -232,6 +234,29 @@ class FeedPublisher:
         if from_lsn is not None:
             df = df.where(F.col("commit_lsn") >= from_lsn)
         return df.orderBy("commit_lsn", "intent_seq") if ordered else df
+
+    def read_segmented(self, from_lsn: int | None = None):
+        """Ordered full-history consumption WITHOUT the total sort.
+
+        Published segments hold disjoint half-open LSN ranges
+        (``seg-{epoch}-{from}-{to}`` holds ``(from, to]``) in
+        path-sortable order, so the feed's global ``(commit_lsn,
+        intent_seq)`` order factorizes: segment order × within-segment
+        order.  This yields ``(segment_path, DataFrame)`` pairs in feed
+        order, each frame sorted within its own segment — every sort is
+        bounded by one segment's size and NO cross-segment exchange
+        ever happens, the way a Kafka consumer drains partitions in
+        offset order rather than sorting the topic.  Drain pattern::
+
+            for seg, df in feed.read_segmented():
+                apply(df)          # rows of df are ordered; segments
+                                   # arrive in global order
+        """
+        for seg in self.segments(from_lsn):
+            df = self.engine.spark.read.parquet(seg)
+            if from_lsn is not None:
+                df = df.where(F.col("commit_lsn") >= from_lsn)
+            yield seg, df.orderBy("commit_lsn", "intent_seq")
 
     def consumer(self, offset_dir: str, group: str = "default"
                  ) -> "FeedConsumer":
@@ -535,6 +560,16 @@ class MultiFeedPublisher:
         if from_lsn is not None:
             df = df.where(F.col("commit_lsn") >= from_lsn)
         return df.orderBy("commit_lsn", "intent_seq") if ordered else df
+
+    def read_segmented(self, from_lsn: int | None = None):
+        """Segment-wise ordered drain of the cross-table feed — same
+        no-total-sort contract as :meth:`FeedPublisher.read_segmented`
+        (``mseg-{from}-{to}`` ranges are disjoint and path-ordered)."""
+        for seg in self.segments(from_lsn):
+            df = self.spark.read.parquet(seg)
+            if from_lsn is not None:
+                df = df.where(F.col("commit_lsn") >= from_lsn)
+            yield seg, df.orderBy("commit_lsn", "intent_seq")
 
     def consumer(self, offset_dir: str, group: str = "default"
                  ) -> "FeedConsumer":

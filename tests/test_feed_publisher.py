@@ -312,3 +312,37 @@ def test_feed_prune_retention_soak_with_lagging_consumer(spark, tmpdir_path):
     import pytest
     with pytest.raises(ValueError):
         pub.prune()
+
+
+def test_read_segmented_orders_without_total_sort(spark, tmpdir_path):
+    """Full-history ordered consumption without the topic-wide sort:
+    segments are disjoint (from, to] LSN ranges in path order, so
+    concatenating per-segment-sorted frames reproduces read(ordered)
+    exactly — and no per-segment plan contains an Exchange (the sort is
+    within the one segment's partitions)."""
+    rows = [_row(l, s, "I", f"c{l}", s, f"t{l}{s}")
+            for l in range(1, 9) for s in range(2)]
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "bl"), bucket_size=2)
+    src.write(spark.createDataFrame(rows, BINLOG_SCHEMA))
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"),
+                         TRANSCRIPT_SCHEMA, bucket_by="conv_id", n_buckets=2)
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ck"),
+                    max_lsns_per_batch=2)
+    pub = FeedPublisher(eng, os.path.join(tmpdir_path, "feed"))
+    eng.run_available(on_batch=pub.publish)
+    assert len(pub.segments()) >= 3
+
+    want = [(r.commit_lsn, r.intent_seq) for r in pub.read().collect()]
+    got, seen_paths = [], []
+    for seg, df in pub.read_segmented():
+        seen_paths.append(seg)
+        got.extend((r.commit_lsn, r.intent_seq) for r in df.collect())
+    assert got == want and len(got) == len(rows)
+    assert seen_paths == pub.segments()
+
+    # suffix read honors from_lsn on segment pruning AND row filtering
+    cut = want[len(want) // 2][0]
+    suffix = []
+    for _seg, df in pub.read_segmented(from_lsn=cut):
+        suffix.extend((r.commit_lsn, r.intent_seq) for r in df.collect())
+    assert suffix == [p for p in want if p[0] >= cut]

@@ -80,3 +80,23 @@ def test_backfill_resume_skips_completed_chunks(spark, tmpdir_path):
     applied = eng.incremental_snapshot(source_now, n_chunks=8)
     assert applied == 4  # only the 4 missing chunks ran
     assert_df_equal(t.read(), source_now, PK_COLS)
+
+
+def test_incremental_snapshot_honors_override_map(spark, tmpdir_path):
+    """The S2 snapshot override map applies to chunked backfills too —
+    the reference consults its overrides on every snapshot SELECT."""
+    source = generate_snapshot(spark, n_convs=40, turns_per_conv=4, seed=7)
+    src = BinlogSource(spark, os.path.join(tmpdir_path, "binlog"),
+                       bucket_size=8)
+    src.write(generate_binlog(spark, n_ops=1, n_convs=40, turns_per_conv=4,
+                              seed=8, lsn_offset=100))
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPT_SCHEMA,
+        bucket_by="conv_id", n_buckets=4, versioned=True,
+    )
+    eng = CdcEngine(spark, src, t, os.path.join(tmpdir_path, "ckpt"),
+                    snapshot_overrides={"transcripts": "turn_idx < 2"})
+    eng.incremental_snapshot(source, n_chunks=4, position=(0, 0))
+    got = t.read()
+    assert got.where("turn_idx >= 2").count() == 0
+    assert got.count() == source.where("turn_idx < 2").count()

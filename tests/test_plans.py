@@ -180,7 +180,8 @@ def test_filtered_ann_pushes_label_predicate(spark):
     scan (PushedFilters), not run post-scan over all vectors."""
     import __spark_entry__ as entrymod
 
-    df = entrymod.extra_queries()["ann_filtered_topk"](spark, SF)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    df = qs["ann_filtered_topk"](spark, SF)
     assert has_pushed_filter(df, "LessThanOrEqual(label,2)"), \
         formatted_plan(df)[:2000]
 
