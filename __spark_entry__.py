@@ -1147,6 +1147,20 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+def q_text_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (operators/lm_score.py
+    `ccnet_buckets`, Wenzek et al. 2020 §4.4): per-language cumulative
+    thirds of the quantized LM score.  Scale shape: a per-(lang,score)
+    histogram replaces the naive per-language percent_rank — the
+    cutoff window runs over the tiny histogram and the labels
+    broadcast back, so the corpus never globally sorts."""
+    from debezium_connector_db2_spark.operators.lm_score import (
+        ccnet_buckets)
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, "doc_id", "text", lang_col="lang")
+
+
 #: Verbatim-span window width (tokens) for the graded substring row —
 #: shared by the Spark query and its DuckDB twin.
 SUBSTR_K = 8
@@ -1345,6 +1359,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "text_langid": q_text_langid,
         "ann_lsh_topk": q_ann_lsh_topk,
+        # round-7 session additions (gate already at its 50-row cap)
+        "text_ccnet_bucket": q_text_ccnet_bucket,
     }
 
 
@@ -2313,4 +2329,9 @@ def oracle_sql() -> dict[str, str]:
         FROM funnel f LEFT JOIN labels l ON f.doc_id = l.doc_id
         WHERE f.verdict = 'kept'
     """
+    from debezium_connector_db2_spark.operators.lm_score import (
+        ccnet_buckets_sql)
+
+    sql["text_ccnet_bucket"] = ccnet_buckets_sql(
+        "documents", "doc_id", "text", "lang")
     return sql

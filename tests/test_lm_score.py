@@ -6,8 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from debezium_connector_db2_spark.operators.lm_score import (
-    LP_SCALE, lm_score, lm_score_sql, unigram_vocab,
+    LP_SCALE, ccnet_buckets, ccnet_buckets_sql, lm_score, lm_score_sql,
+    unigram_vocab,
 )
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 DOCS = [
     (1, "the cat sat on the mat"),
@@ -81,4 +84,63 @@ def test_duckdb_twin_matches(spark, tmpdir_path):
         lm_score_sql("documents", "doc_id", "text")).fetchall()}
     got = {r["doc_id"]: (r["n_tokens"], r["avg_nll"])
            for r in lm_score(docs, "doc_id", "text").collect()}
+    assert got == want
+
+
+def test_ccnet_buckets_order_and_rough_thirds(spark):
+    docs = spark.read.parquet(SF_DOCS)
+    rows = ccnet_buckets(docs, "doc_id", "text", lang_col="lang").collect()
+    scored_n = lm_score(docs, "doc_id", "text").count()
+    assert len(rows) == scored_n  # every scored doc gets exactly one label
+    # per language, the split is monotone in avg_nll:
+    # max(head) <= min(middle) <= max(middle) <= min(tail)
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {}).setdefault(
+            r["bucket"], []).append(r["avg_nll"])
+    for lang, b in per_lang.items():
+        lo = float("-inf")
+        for name in ("head", "middle", "tail"):
+            if name in b:
+                assert min(b[name]) >= lo, (lang, name)
+                lo = max(b[name])
+    # overall the split is near thirds (ties make it approximate)
+    n = len(rows)
+    for name in ("head", "middle", "tail"):
+        frac = sum(1 for r in rows if r["bucket"] == name) / n
+        assert 0.2 <= frac <= 0.47, (name, frac)
+
+
+def test_ccnet_buckets_tie_groups_move_together(spark):
+    # four byte-identical docs share one quantized score; the whole tie
+    # group must land in ONE bucket even though it straddles a cut
+    docs = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(1, 5)]
+        + [(5, "zyx wvu"), (6, "qpo nml")],
+        "doc_id long, text string")
+    rows = ccnet_buckets(docs, "doc_id", "text").collect()
+    tie = {r["bucket"] for r in rows if r["doc_id"] <= 4}
+    assert len(tie) == 1
+
+
+def test_ccnet_buckets_rejects_bad_fractions(spark):
+    docs = _docs(spark)
+    for bad in ((0.5, 0.5), (0.0, 0.5), (0.7, 0.3), (0.5, 1.0)):
+        with pytest.raises(ValueError, match="fractions"):
+            ccnet_buckets(docs, "doc_id", "text", fractions=bad)
+
+
+def test_ccnet_buckets_duckdb_twin_matches(spark):
+    import duckdb
+
+    docs = spark.read.parquet(SF_DOCS)
+    got = {r["doc_id"]: (r["lang"], r["n_tokens"], r["avg_nll"],
+                         r["bucket"])
+           for r in ccnet_buckets(docs, "doc_id", "text",
+                                  lang_col="lang").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DOCS}'")
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(
+        ccnet_buckets_sql("documents", "doc_id", "text", "lang"))
+        .fetchall()}
     assert got == want

@@ -144,6 +144,22 @@ def test_lm_score_vocab_join_broadcasts(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_ccnet_bucket_labels_broadcast_back(spark):
+    """The CCNet split must label the corpus with a BROADCAST join from
+    the tiny (lang, score)→bucket frame — never a corpus-wide sort or a
+    percent_rank window over documents — and the histogram aggregate
+    must map-side combine."""
+    from debezium_connector_db2_spark.operators.lm_score import (
+        ccnet_buckets)
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = ccnet_buckets(docs, "doc_id", "text", lang_col="lang")
+    plan = formatted_plan(out)
+    assert has_broadcast_join(out), plan[:2000]
+    assert "partial_count" in plan, "histogram must map-side combine"
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_incremental_dedup_probe_is_broadcast_semi(spark, tmpdir_path):
     """The index probe must be a broadcast LEFT SEMI against the batch's
     fingerprints: the (huge) index streams through with no shuffle of
