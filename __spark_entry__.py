@@ -1147,6 +1147,23 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """Trained model-based quality filter (operators/classifier.py):
+    binarized multinomial NB over hashed unigram+bigram features — the
+    fastText-classifier serving shape every published pipeline ends
+    with (GPT-3 WebText-vs-CC, LLaMA Wikipedia-ref).  Training is one
+    n_buckets-bounded groupBy; serving explodes grams and broadcasts
+    the weight table; all logs go through portable_ln (iterated IEEE
+    sqrt) and the final average through exact integer rounding, so the
+    DuckDB twin is bit-identical."""
+    from debezium_connector_db2_spark.operators.classifier import (
+        quality_classifier)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("label", (F.col("lang") == "en").cast("int")))
+    return quality_classifier(docs, "doc_id", "text", "label")
+
+
 def q_text_ccnet_bucket(spark, sf_dir):
     """CCNet head/middle/tail corpus split (operators/lm_score.py
     `ccnet_buckets`, Wenzek et al. 2020 §4.4): per-language cumulative
@@ -1361,6 +1378,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         # round-7 session additions (gate already at its 50-row cap)
         "text_ccnet_bucket": q_text_ccnet_bucket,
+        "text_quality_classifier": q_text_quality_classifier,
     }
 
 
@@ -2334,4 +2352,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["text_ccnet_bucket"] = ccnet_buckets_sql(
         "documents", "doc_id", "text", "lang")
+    from debezium_connector_db2_spark.operators.classifier import (
+        quality_classifier_sql)
+
+    sql["text_quality_classifier"] = quality_classifier_sql(
+        "documents", "doc_id", "text",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
     return sql

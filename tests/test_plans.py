@@ -160,6 +160,21 @@ def test_ccnet_bucket_labels_broadcast_back(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_classifier_serving_broadcasts_weights(spark):
+    """NB classifier serving must broadcast the (n_buckets-bounded)
+    weight table against the exploded corpus grams — the corpus never
+    shuffles by gram — and stay fully JVM-side."""
+    from debezium_connector_db2_spark.operators.classifier import (
+        quality_classifier)
+
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .withColumn("label", (F.col("lang") == "en").cast("int")))
+    out = quality_classifier(docs, "doc_id", "text", "label")
+    plan = formatted_plan(out)
+    assert has_broadcast_join(out), plan[:2000]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_incremental_dedup_probe_is_broadcast_semi(spark, tmpdir_path):
     """The index probe must be a broadcast LEFT SEMI against the batch's
     fingerprints: the (huge) index streams through with no shuffle of
