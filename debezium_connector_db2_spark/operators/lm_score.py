@@ -28,8 +28,13 @@ Cross-engine determinism: per-word log-probs are quantized to integer
 deci-milli-nats (``round(ln(p)·10⁴)`` as BIGINT) *before* the per-doc
 sum — long addition is exact and commutative, so the result is
 independent of Spark's partition/row order and bit-comparable with the
-DuckDB oracle (float summation order would not be).  ``ln`` is the
-only non-IEEE-exact op and it is quantized at 1e-4 immediately.
+DuckDB oracle (float summation order would not be).  The ``ln`` itself
+goes through :func:`..functions.portable_math.portable_ln` (iterated
+IEEE sqrt — bit-identical across engines; a 1-ulp libm difference can
+flip the quantization) and the final per-doc average uses exact
+integer half-away division (Spark's ``round(double, 4)`` rounds the
+shortest decimal string, DuckDB rounds the binary value — they
+disagree on exact ..xx5 averages).
 
 Reference analogue: none (the reference is a CDC connector); the
 quality-gate seat mirrors ``operators/quality.py`` (Gopher rules).
@@ -40,6 +45,8 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.portable_math import portable_ln, portable_ln_sql
 
 #: Quantization scale for per-word log-probs (deci-milli-nats).
 LP_SCALE = 10_000
@@ -73,9 +80,13 @@ def unigram_vocab(docs: DataFrame, text_col: str, id_col: str,
     if max_vocab is not None:
         counts = (counts.orderBy(F.col("c").desc(), F.col("word"))
                   .limit(int(max_vocab)))
+    # portable_ln, NOT F.log: a 1-ulp JVM-vs-DuckDB ln() difference
+    # flips the deci-milli-nat quantization across a .5 boundary
+    # (observed on the NB classifier's hashed buckets) — the iterated-
+    # IEEE-sqrt log is bit-identical across engines by construction.
     vocab = counts.select(
         "word",
-        F.round(F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+        F.round(portable_ln((F.col("c") + F.lit(alpha)) / F.lit(denom))
                 * F.lit(LP_SCALE)).cast("long").alias("lp_u"),
     )
     import math
@@ -114,10 +125,15 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
               .agg(F.sum(F.coalesce(F.col("lp_u"),
                                     F.lit(int(oov_lp_u)))).alias("__s"),
                    F.count("*").alias("n_tokens")))
+    # avg_nll = round(-__s / (S·n), 4), but via EXACT integer half-away
+    # division: Spark's round(double, 4) rounds the shortest decimal
+    # string while DuckDB rounds the binary value — they disagree when
+    # the average lands exactly on ..xx5 (observed).  -__s > 0 always
+    # (every lp_u < 0), so no sign handling is needed.
     return scored.select(
         id_col, "n_tokens",
-        F.round(-F.col("__s") / (F.lit(float(LP_SCALE)) * F.col("n_tokens")),
-                4).alias("avg_nll"))
+        (F.expr("(2 * (-__s) + n_tokens) div (2 * n_tokens)")
+         / F.lit(float(LP_SCALE))).alias("avg_nll"))
 
 
 def lm_score_sql(table: str, id_col: str, text_col: str,
@@ -132,21 +148,47 @@ def lm_score_sql(table: str, id_col: str, text_col: str,
         ), toks_f AS (SELECT * FROM toks WHERE word != ''),
         counts AS (SELECT word, count(*) AS c FROM toks_f GROUP BY word),
         stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        probs AS (
+          SELECT word, (c + {alpha}) / (n + {alpha} * (v + 1.0)) AS p
+          FROM counts, stats),
         vocab AS (
           SELECT word,
-                 CAST(round(ln((c + {alpha}) / (n + {alpha} * (v + 1.0)))
+                 CAST(round({portable_ln_sql('p')}
                             * {LP_SCALE}) AS BIGINT) AS lp_u
-          FROM counts, stats)
+          FROM probs)
         SELECT t.{id_col}, count(*) AS n_tokens,
-               round(-sum(v.lp_u) / ({LP_SCALE}.0 * count(*)), 4) AS avg_nll
+               ((2 * (-sum(v.lp_u)) + count(*)) // (2 * count(*)))
+                 / {LP_SCALE}.0 AS avg_nll
         FROM toks_f t JOIN vocab v USING (word)
         GROUP BY t.{id_col}
     """
 
 
+def _validate_cuts(fractions) -> tuple[int, int, int, int]:
+    """Validate ``((n1, d1), (n2, d2))`` rational cut points with
+    ``0 < n1/d1 < n2/d2 < 1``.  Rationals, NOT floats: the cutoff test
+    ``cum·d <= n·tot`` is then exact 64-bit integer arithmetic in both
+    engines — a float ``cum <= f·tot`` hits real divergence (DuckDB
+    parses a bare decimal literal as exact DECIMAL while Spark
+    multiplies DOUBLEs; at ``tot=75, f=1/3`` the two sides of the
+    boundary came out different — observed)."""
+    try:
+        (n1, d1), (n2, d2) = fractions
+        n1, d1, n2, d2 = int(n1), int(d1), int(n2), int(d2)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"ccnet_buckets: fractions must be two (numerator, "
+            f"denominator) int pairs, got {fractions!r}")
+    if not (d1 > 0 and d2 > 0 and 0 < n1 * d2 < n2 * d1 and n2 < d2):
+        raise ValueError(
+            f"ccnet_buckets: fractions must satisfy 0 < n1/d1 < n2/d2 "
+            f"< 1, got {fractions!r}")
+    return n1, d1, n2, d2
+
+
 def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
                   lang_col: Optional[str] = None,
-                  fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+                  fractions: tuple = ((1, 3), (2, 3)),
                   vocab: Optional[DataFrame] = None,
                   oov_lp_u: Optional[int] = None,
                   max_vocab: Optional[int] = None,
@@ -171,13 +213,13 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
     so the split is deterministic and partition-order-independent at
     the cost of fractions being approximate at tie boundaries.
 
+    ``fractions`` are rational ``(numerator, denominator)`` pairs (see
+    :func:`_validate_cuts` for why floats are unsafe here); the bucket
+    test is exact integer arithmetic: head iff ``cum·d1 <= n1·tot``.
+
     Returns ``(id_col[, lang_col], n_tokens, avg_nll, bucket)``.
     """
-    f1, f2 = float(fractions[0]), float(fractions[1])
-    if not 0.0 < f1 < f2 < 1.0:
-        raise ValueError(
-            f"ccnet_buckets: fractions must satisfy 0 < f1 < f2 < 1, "
-            f"got {fractions!r}")
+    n1, d1, n2, d2 = _validate_cuts(fractions)
     scored = lm_score(docs, id_col, text_col, vocab=vocab,
                       oov_lp_u=oov_lp_u, max_vocab=max_vocab, alpha=alpha)
     if lang_col is None:
@@ -196,8 +238,10 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
         F.sum("__c").over(w_tot).alias("__tot"))
     labels = cuts.select(
         "__lang", "avg_nll",
-        F.when(F.col("__cum") <= F.lit(f1) * F.col("__tot"), "head")
-        .when(F.col("__cum") <= F.lit(f2) * F.col("__tot"), "middle")
+        F.when(F.col("__cum") * F.lit(d1) <= F.lit(n1) * F.col("__tot"),
+               "head")
+        .when(F.col("__cum") * F.lit(d2) <= F.lit(n2) * F.col("__tot"),
+              "middle")
         .otherwise("tail").alias("bucket"))
     out = scored.join(F.broadcast(labels), ["__lang", "avg_nll"])
     cols = [F.col(id_col)]
@@ -208,15 +252,13 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
 
 def ccnet_buckets_sql(table: str, id_col: str, text_col: str,
                       lang_col: str,
-                      fractions: tuple[float, float] = (1.0 / 3.0,
-                                                        2.0 / 3.0),
+                      fractions: tuple = ((1, 3), (2, 3)),
                       alpha: float = 1.0) -> str:
     """DuckDB twin of :func:`ccnet_buckets` (self-trained, uncapped
     vocab, per-``lang_col`` split): identical score quantization,
-    histogram cutoffs, and tie handling.  Fraction literals are
-    interpolated at full ``repr`` precision so the IEEE comparisons
-    match Spark bit-for-bit."""
-    f1, f2 = repr(float(fractions[0])), repr(float(fractions[1]))
+    histogram cutoffs, and tie handling.  Cut points are integer
+    rationals, so the bucket test is exact in both engines."""
+    n1, d1, n2, d2 = _validate_cuts(fractions)
     return f"""
         WITH toks AS (
           SELECT {id_col}, unnest(string_split_regex(
@@ -225,15 +267,18 @@ def ccnet_buckets_sql(table: str, id_col: str, text_col: str,
         ), toks_f AS (SELECT * FROM toks WHERE word != ''),
         counts AS (SELECT word, count(*) AS c FROM toks_f GROUP BY word),
         stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        probs AS (
+          SELECT word, (c + {alpha}) / (n + {alpha} * (v + 1.0)) AS p
+          FROM counts, stats),
         vocab AS (
           SELECT word,
-                 CAST(round(ln((c + {alpha}) / (n + {alpha} * (v + 1.0)))
+                 CAST(round({portable_ln_sql('p')}
                             * {LP_SCALE}) AS BIGINT) AS lp_u
-          FROM counts, stats),
+          FROM probs),
         scored AS (
           SELECT t.{id_col}, count(*) AS n_tokens,
-                 round(-sum(v.lp_u) / ({LP_SCALE}.0 * count(*)), 4)
-                   AS avg_nll
+                 ((2 * (-sum(v.lp_u)) + count(*)) // (2 * count(*)))
+                   / {LP_SCALE}.0 AS avg_nll
           FROM toks_f t JOIN vocab v USING (word)
           GROUP BY t.{id_col}),
         langd AS (
@@ -251,8 +296,8 @@ def ccnet_buckets_sql(table: str, id_col: str, text_col: str,
           FROM hist),
         labels AS (
           SELECT __lang, avg_nll,
-                 CASE WHEN cum <= {f1} * tot THEN 'head'
-                      WHEN cum <= {f2} * tot THEN 'middle'
+                 CASE WHEN cum * {d1} <= {n1} * tot THEN 'head'
+                      WHEN cum * {d2} <= {n2} * tot THEN 'middle'
                       ELSE 'tail' END AS bucket
           FROM cuts)
         SELECT l.{id_col}, l.__lang AS {lang_col}, l.n_tokens,

@@ -125,7 +125,11 @@ def test_ccnet_buckets_tie_groups_move_together(spark):
 
 def test_ccnet_buckets_rejects_bad_fractions(spark):
     docs = _docs(spark)
-    for bad in ((0.5, 0.5), (0.0, 0.5), (0.7, 0.3), (0.5, 1.0)):
+    for bad in (((1, 2), (1, 2)),      # equal cuts
+                ((0, 3), (2, 3)),      # zero lower cut
+                ((2, 3), (1, 3)),      # descending
+                ((1, 2), (2, 2)),      # upper cut == 1
+                (0.3333, 0.6667)):     # floats, not rationals
         with pytest.raises(ValueError, match="fractions"):
             ccnet_buckets(docs, "doc_id", "text", fractions=bad)
 
