@@ -1147,6 +1147,37 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+def q_dedup_incremental_near(spark, sf_dir):
+    """Cross-batch NEAR-dup over a persisted MinHash-LSH index
+    (operators/dedup_incremental.py IncrementalNearDeduper): three
+    sequential crawl batches (doc_id % 3), each probed against — and
+    extending — per-doc (band, bucket, signature) rows.  Broadcast
+    batch probe, signature-agreement verify (integer min_matches, no
+    float threshold), register-all for recall + provenance.  The
+    oracle is the equivalent GLOBAL banded pass restricted to
+    (batch, doc_id) precedence — valid because every doc registers."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        IncrementalNearDeduper,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="cdc-nearindex-oracle-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    dd = IncrementalNearDeduper(spark, os.path.join(d, "idx"),
+                                n_buckets=8)
+    parts = [dd.process_batch(docs.where(F.col("doc_id") % 3 == b),
+                              "doc_id", "text", batch_seq=b)
+             for b in range(3)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Trained model-based quality filter (operators/classifier.py):
     binarized multinomial NB over hashed unigram+bigram features — the
@@ -1379,6 +1410,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 session additions (gate already at its 50-row cap)
         "text_ccnet_bucket": q_text_ccnet_bucket,
         "text_quality_classifier": q_text_quality_classifier,
+        "dedup_incremental_near": q_dedup_incremental_near,
     }
 
 
@@ -2358,4 +2390,9 @@ def oracle_sql() -> dict[str, str]:
     sql["text_quality_classifier"] = quality_classifier_sql(
         "documents", "doc_id", "text",
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        incremental_near_sql)
+
+    sql["dedup_incremental_near"] = incremental_near_sql(
+        "documents", "doc_id", "text", "doc_id % 3")
     return sql

@@ -160,6 +160,27 @@ def test_ccnet_bucket_labels_broadcast_back(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_incremental_near_probe_broadcasts_batch(spark, tmpdir_path):
+    """The near-dup index probe must broadcast the (small) batch's band
+    rows against the (huge) streaming index — same no-index-shuffle
+    contract as the exact deduper's semi-probe — and verify candidates
+    JVM-side (zip_with on signatures, no Python stage)."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        IncrementalNearDeduper)
+
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id", "text"))
+    dd = IncrementalNearDeduper(
+        spark, os.path.join(tmpdir_path, "nearidx"), n_buckets=4)
+    dd.process_batch(docs.where(F.col("doc_id") % 2 == 0), "doc_id",
+                     "text", batch_seq=1).collect()
+    verdict = dd.process_batch(docs.where(F.col("doc_id") % 2 == 1),
+                               "doc_id", "text", batch_seq=2)
+    plan = formatted_plan(verdict)
+    assert has_broadcast_join(verdict), plan[:2000]
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_classifier_serving_broadcasts_weights(spark):
     """NB classifier serving must broadcast the (n_buckets-bounded)
     weight table against the exploded corpus grams — the corpus never
