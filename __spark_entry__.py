@@ -1147,6 +1147,20 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(docs, "doc_id", "text")
 
 
+def q_dedup_substring_scrub(spark, sf_dir):
+    """Verbatim-span REMOVAL (operators/dedup_substring.py
+    substring_scrub — the action Lee et al. 2021 take on detected
+    spans): duplicated >= k-token runs are deleted from the larger-id
+    doc, overlapping spans merged per doc, removal itself a
+    zero-shuffle nested higher-order filter (no token-level join, no
+    Python).  clean_text is byte-identical to the DuckDB twin."""
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_scrub)
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_scrub(docs, "doc_id", "text", k=SUBSTR_K)
+
+
 def q_dedup_incremental_near(spark, sf_dir):
     """Cross-batch NEAR-dup over a persisted MinHash-LSH index
     (operators/dedup_incremental.py IncrementalNearDeduper): three
@@ -1411,6 +1425,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_bucket": q_text_ccnet_bucket,
         "text_quality_classifier": q_text_quality_classifier,
         "dedup_incremental_near": q_dedup_incremental_near,
+        "dedup_substring_scrub": q_dedup_substring_scrub,
     }
 
 
@@ -2395,4 +2410,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_incremental_near"] = incremental_near_sql(
         "documents", "doc_id", "text", "doc_id % 3")
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_scrub_sql)
+
+    sql["dedup_substring_scrub"] = substring_scrub_sql(
+        "documents", "doc_id", "text", k=SUBSTR_K)
     return sql

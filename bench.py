@@ -66,6 +66,10 @@ HEADLINE = [
     "text_funnel",
     "text_funnel_near",
     "ann_filtered_ivf",
+    "text_ccnet_bucket",
+    "text_quality_classifier",
+    "dedup_incremental_near",
+    "dedup_substring_scrub",
 ]
 
 #: CDC end-to-end is measured at these multiples of the base op count —
@@ -340,7 +344,8 @@ SCALED_QUERIES = ["dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                   "dedup_cluster_keepers", "dedup_conversations_near",
                   "dedup_embedding_cosine", "ann_ivf_topk",
                   "text_lm_score", "dedup_substring", "text_funnel",
-                  "text_funnel_near"]
+                  "text_funnel_near", "text_ccnet_bucket",
+                  "text_quality_classifier", "dedup_substring_scrub"]
 N_WARM_SCALED = max(1, int(os.environ.get("SPARK_GRAFT_SCALED_PASSES", "2")))
 
 

@@ -189,7 +189,8 @@ class StreamingDeduper:
                  index_path: str, out_dir: str, checkpoint_dir: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  schema=None, max_files_per_trigger: int | None = None,
-                 compact_every: int = 4):
+                 compact_every: int = 4, near: bool = False,
+                 near_kwargs: dict | None = None):
         self.spark = spark
         self.crawl_dir = crawl_dir
         self.out_dir = out_dir
@@ -198,7 +199,16 @@ class StreamingDeduper:
         self.schema = schema
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_every = compact_every
-        self.dedup = IncrementalDeduper(spark, index_path)
+        # near=True swaps the exact fingerprint index for the MinHash-
+        # LSH one (IncrementalNearDeduper, near_kwargs forwarded) — the
+        # probe/extend/clock contracts are identical, so the streaming
+        # lifecycle (persisted base seq, idempotent epochs, overwrite-
+        # by-path output) is shared verbatim.
+        if near:
+            self.dedup = IncrementalNearDeduper(
+                spark, index_path, **(near_kwargs or {}))
+        else:
+            self.dedup = IncrementalDeduper(spark, index_path)
         self._base_seq = self._load_base_seq()
 
     def _load_base_seq(self) -> int:

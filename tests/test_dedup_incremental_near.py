@@ -103,6 +103,31 @@ def test_rejects_bad_parameters(spark, tmpdir_path):
                                min_matches=17)
 
 
+def test_streaming_near_dedup_across_restart(spark, tmpdir_path):
+    """StreamingDeduper(near=True) runs the LSH index under a real
+    StreamingQuery: a near-dup arriving in a LATER drop — after a full
+    stop/restart with a fresh StreamingDeduper instance — must still be
+    caught against the persisted index."""
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        StreamingDeduper)
+
+    crawl = os.path.join(tmpdir_path, "crawl")
+    args = dict(crawl_dir=crawl,
+                index_path=os.path.join(tmpdir_path, "idx"),
+                out_dir=os.path.join(tmpdir_path, "kept"),
+                checkpoint_dir=os.path.join(tmpdir_path, "ckpt"),
+                near=True, near_kwargs={"n_buckets": 4})
+    _df(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.mode(
+        "append").parquet(crawl)
+    StreamingDeduper(spark, **args).run_available()
+    _df(spark, [(10, EDIT)]).coalesce(1).write.mode(
+        "append").parquet(crawl)
+    StreamingDeduper(spark, **args).run_available()  # fresh instance
+    kept = spark.read.parquet(os.path.join(tmpdir_path, "kept"))
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 2}  # the cross-drop near-dup 10 was dropped
+
+
 def test_duckdb_twin_matches_three_batch_run(spark, tmpdir_path):
     import duckdb
 
