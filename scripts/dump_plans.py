@@ -161,6 +161,48 @@ def main():
                                            max_band_bucket_size=400)),
     ))
 
+    from debezium_connector_db2_spark.operators.lm_score import (
+        ccnet_buckets)
+
+    sections.append((
+        "CCNet perplexity buckets — histogram cutoffs, no corpus sort "
+        "(round 7)",
+        "The per-(lang, quantized-score) histogram replaces the naive "
+        "per-language `percent_rank`: the only `Sort` feeds the window "
+        "over the TINY histogram, and the bucket labels come back via "
+        "`BroadcastHashJoin` — the corpus itself never globally sorts.",
+        ccnet_buckets(docs, "doc_id", "text", lang_col="lang"),
+    ))
+
+    from debezium_connector_db2_spark.operators.classifier import (
+        quality_classifier)
+
+    sections.append((
+        "Trained NB quality classifier — broadcast weight serving "
+        "(round 7)",
+        "The hashed-feature weight table is bounded at n_buckets rows "
+        "by construction, so the serving join is `BroadcastHashJoin` "
+        "at any corpus size; training's only exchange is the "
+        "bucket-bounded `partial_sum` groupBy.  All math is portable "
+        "(iterated-IEEE-sqrt ln, exact integer rounding).",
+        quality_classifier(
+            docs.withColumn("label",
+                            (F.col("lang") == "en").cast("int")),
+            "doc_id", "text", "label"),
+    ))
+
+    from debezium_connector_db2_spark.operators.dedup_substring import (
+        substring_scrub)
+
+    sections.append((
+        "Verbatim-span removal — zero-shuffle nested-lambda scrub "
+        "(round 7)",
+        "Span detection reuses the window-hash equi-join; the removal "
+        "itself is a projection (nested higher-order filter over the "
+        "token array) — no token-level join, no Python stage.",
+        substring_scrub(docs, "doc_id", "text", k=8),
+    ))
+
     out = ["# PLANS — physical plans of the load-bearing kernels",
            "",
            "Generated by `scripts/dump_plans.py` (plan-shape properties are",
