@@ -151,7 +151,8 @@ class IncrementalDeduper:
 
 
 class StreamingDeduper:
-    """Structured Streaming front-end for :class:`IncrementalDeduper`:
+    """Structured Streaming front-end for :class:`IncrementalDeduper`
+    (or, with ``near=True``, :class:`IncrementalNearDeduper`):
     a parquet file stream of crawl drops → ``foreachBatch`` probe +
     extend → kept (non-duplicate) docs written per epoch.
 
@@ -374,8 +375,18 @@ class IncrementalNearDeduper:
         from debezium_connector_db2_spark.operators.dedup_text import (
             minhash_signatures)
 
+        # lazy engine-side guard: dup_of decoding (seq·KEY_BASE + id)
+        # needs ids in [0, KEY_BASE) — raise at execution rather than
+        # silently mis-attributing provenance
+        guarded = F.when(
+            (F.col(id_col) < 0) | (F.col(id_col) >= KEY_BASE),
+            F.raise_error(F.concat(
+                F.lit("IncrementalNearDeduper: doc id out of "
+                      f"[0, {KEY_BASE}): "),
+                F.col(id_col).cast("string")))
+        ).otherwise(F.col(id_col).cast("long"))
         sig = minhash_signatures(
-            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            docs.select(guarded.alias("doc_id"), text_col),
             "doc_id", text_col, k_shingle=self.k_shingle,
             n_hashes=self.n_hashes)
         r = self.n_hashes // self.bands

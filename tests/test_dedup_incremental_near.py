@@ -94,6 +94,17 @@ def test_short_docs_are_kept_and_not_indexed(spark, tmpdir_path):
     assert dd.index.read().where(F.col("doc_id") == 1).count() == 0
 
 
+def test_out_of_range_doc_id_raises(spark, tmpdir_path):
+    from debezium_connector_db2_spark.operators.dedup_incremental import (
+        KEY_BASE)
+
+    dd = IncrementalNearDeduper(spark, os.path.join(tmpdir_path, "idx"),
+                                n_buckets=4)
+    bad = _df(spark, [(KEY_BASE + 7, BASE)])
+    with pytest.raises(Exception, match="doc id out of"):
+        dd.process_batch(bad, "doc_id", "text", batch_seq=1).collect()
+
+
 def test_rejects_bad_parameters(spark, tmpdir_path):
     with pytest.raises(ValueError, match="n_hashes"):
         IncrementalNearDeduper(spark, os.path.join(tmpdir_path, "i1"),
