@@ -52,8 +52,9 @@ from ..functions.portable_math import portable_ln, portable_ln_sql
 LP_SCALE = 10_000
 
 
-def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (docs.select(F.col(id_col),
+def _tokens(docs: DataFrame, id_col: str, text_col: str,
+            carry: list[str] | None = None) -> DataFrame:
+    return (docs.select(F.col(id_col), *[F.col(c) for c in carry or []],
                         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                           r"\s+")).alias("word"))
             .where(F.col("word") != ""))
@@ -101,15 +102,23 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
              vocab: Optional[DataFrame] = None,
              oov_lp_u: Optional[int] = None,
              max_vocab: Optional[int] = None,
-             alpha: float = 1.0) -> DataFrame:
-    """Per-document ``(id_col, n_tokens, avg_nll)`` — average negative
-    log-likelihood in nats under the unigram model (lower = more
-    typical of the training slice; CCNet buckets on exactly this).
+             alpha: float = 1.0,
+             carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document ``(id_col[, carry_cols...], n_tokens, avg_nll)`` —
+    average negative log-likelihood in nats under the unigram model
+    (lower = more typical of the training slice; CCNet buckets on
+    exactly this).
 
     ``vocab``/``oov_lp_u`` default to a model trained on ``docs``
     itself; pass a table trained on a trusted slice for the real CCNet
     setup (the plan is identical — the model side is broadcast either
     way).
+
+    ``carry_cols`` rides per-doc attributes (e.g. the language column)
+    through the existing per-doc aggregate by widening its grouping
+    key — the attributes are functionally dependent on ``id_col``, so
+    this is the same single shuffle, and downstream consumers avoid a
+    corpus-sized re-join against ``docs``.
     """
     if vocab is None:
         vocab, oov_lp_u = unigram_vocab(docs, text_col, id_col,
@@ -119,9 +128,10 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
             "lm_score: an external vocab requires its oov_lp_u (both are "
             "returned by unigram_vocab) — without the matching OOV floor, "
             "out-of-vocabulary tokens would score as NULL")
-    toks = _tokens(docs, id_col, text_col)
+    carry = [c for c in carry_cols]
+    toks = _tokens(docs, id_col, text_col, carry)
     scored = (toks.join(F.broadcast(vocab), "word", "left")
-              .groupBy(id_col)
+              .groupBy(id_col, *carry)
               .agg(F.sum(F.coalesce(F.col("lp_u"),
                                     F.lit(int(oov_lp_u)))).alias("__s"),
                    F.count("*").alias("n_tokens")))
@@ -131,7 +141,7 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
     # the average lands exactly on ..xx5 (observed).  -__s > 0 always
     # (every lp_u < 0), so no sign handling is needed.
     return scored.select(
-        id_col, "n_tokens",
+        id_col, *carry, "n_tokens",
         (F.expr("(2 * (-__s) + n_tokens) div (2 * n_tokens)")
          / F.lit(float(LP_SCALE))).alias("avg_nll"))
 
@@ -220,13 +230,17 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
     Returns ``(id_col[, lang_col], n_tokens, avg_nll, bucket)``.
     """
     n1, d1, n2, d2 = _validate_cuts(fractions)
+    # lang rides lm_score's per-doc aggregate via carry_cols (same
+    # single shuffle — lang is functionally dependent on the doc id);
+    # re-joining the corpus-sized scored frame against docs just to
+    # fetch lang would be a second corpus-wide exchange for nothing
     scored = lm_score(docs, id_col, text_col, vocab=vocab,
-                      oov_lp_u=oov_lp_u, max_vocab=max_vocab, alpha=alpha)
+                      oov_lp_u=oov_lp_u, max_vocab=max_vocab, alpha=alpha,
+                      carry_cols=() if lang_col is None else (lang_col,))
     if lang_col is None:
         scored = scored.withColumn("__lang", F.lit(""))
     else:
-        scored = scored.join(
-            docs.select(id_col, F.col(lang_col).alias("__lang")), id_col)
+        scored = scored.withColumnRenamed(lang_col, "__lang")
     hist = (scored.groupBy("__lang", "avg_nll")
             .agg(F.count("*").alias("__c")))
     w_cum = (Window.partitionBy("__lang").orderBy("avg_nll")

@@ -158,6 +158,10 @@ def test_ccnet_bucket_labels_broadcast_back(spark):
     assert has_broadcast_join(out), plan[:2000]
     assert "partial_count" in plan, "histogram must map-side combine"
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # lang rides the per-doc aggregate (carry_cols): there must be NO
+    # shuffle join anywhere — a SortMergeJoin would mean the corpus
+    # re-joined docs just to fetch lang
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_incremental_near_probe_broadcasts_batch(spark, tmpdir_path):
