@@ -88,6 +88,13 @@ SCALE_MULTS = [
 #: regression indistinguishable from noise).
 N_WARM = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_PASSES", "3")))
 
+#: Queries whose output plan is row-preserving over the base table —
+#: a bare count() lets Catalyst eliminate the actual work (observed:
+#: substring scrub timed 0.37s because its unique-key left join and
+#: clean_text lambdas were optimized away under count).  These are
+#: forced through the noop sink instead.
+FORCE_FULL_EVAL = {"dedup_substring_scrub"}
+
 #: (cold, warm) replay pairs per CDC scale point — the floors protocol
 #: (SCALING.json methodology: repeat passes, floor of minima, all
 #: samples recorded).  Originally only the largest point ran pairs; a
@@ -323,7 +330,15 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> tuple[dict, dict, dict]:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            if name in FORCE_FULL_EVAL:
+                # count() lets Catalyst ELIMINATE row-preserving work
+                # (scrub's unique-key left join + the clean_text
+                # lambdas vanish, timing ~nothing) — the noop sink
+                # materializes every column
+                df.write.format("noop").mode("overwrite").save()
+                n = 0
+            else:
+                n = df.count()
             out[name] = round(time.time() - t0, 3)
             _ = n
             del df              # releases result-scoped pins (caching.py)
@@ -399,7 +414,10 @@ def bench_scaled_queries(spark: SparkSession, scaled_dir: str,
         for name in SCALED_QUERIES:
             t0 = time.time()
             df = qs[name](spark, scaled_dir)
-            df.count()
+            if name in FORCE_FULL_EVAL:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             out[name] = round(time.time() - t0, 3)
             del df
             spark.catalog.clearCache()
