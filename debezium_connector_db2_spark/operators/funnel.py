@@ -34,7 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from debezium_connector_db2_spark.functions.caching import tie_lifetime
+from debezium_connector_db2_spark.functions.caching import (
+    pin_for_result, tie_lifetime)
 from debezium_connector_db2_spark.functions.text import (
     fingerprint, fingerprint_sql)
 from debezium_connector_db2_spark.operators.lm_score import (
@@ -85,8 +86,12 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     )
     kept = staged.where(F.col("__rn") == 1).select(id_col)
     if near_dup_kwargs is None:
-        return base.unionByName(
-            kept.select(id_col, F.lit("kept").alias("verdict")))
+        # pin j (narrow: id, fp, avg_nll) for the result's lifetime —
+        # three verdict branches consume it (lm-fail, dup, kept) and
+        # would otherwise re-run the LM scoring shuffle once each
+        return pin_for_result(
+            base.unionByName(
+                kept.select(id_col, F.lit("kept").alias("verdict"))), j)
 
     from debezium_connector_db2_spark.operators.dedup_text import (
         dedup_clusters, minhash_lsh_pairs)
@@ -108,8 +113,12 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     # dedup_clusters scopes its label-spill scratch dir (and cache pins)
     # to ITS returned object; the funnel result reads those spilled
     # files, so tie the clusters frame's lifetime to the result (and
-    # funnel_report chains the tie onto its own output).
-    return tie_lifetime(base.unionByName(verdict4), clusters)
+    # funnel_report chains the tie onto its own output).  j is pinned
+    # too: four branches re-derive it otherwise (lm-fail, dup, kept,
+    # and the near stage's kept_docs semi-join), each paying the LM
+    # scoring shuffle again.
+    return pin_for_result(
+        tie_lifetime(base.unionByName(verdict4), clusters), j)
 
 
 def funnel_report(verdicts: DataFrame) -> DataFrame:
