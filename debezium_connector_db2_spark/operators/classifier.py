@@ -92,7 +92,16 @@ def train_quality_classifier(train_docs: DataFrame, text_col: str,
     if a <= 0.0:
         raise ValueError(f"train_quality_classifier: alpha must be > 0, "
                          f"got {alpha!r}")
-    lab = F.col(label_col).cast("long")
+    # lazy engine-side guard: a label outside {0, 1} (or NULL) would
+    # silently corrupt BOTH class counts (sum(__y) and sum(1-__y)) —
+    # raise at execution instead
+    lab = F.when(F.col(label_col).cast("long").isin(0, 1),
+                 F.col(label_col).cast("long")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("train_quality_classifier: label must be 0 or 1, "
+                  "got "),
+            F.coalesce(F.col(label_col).cast("string"),
+                       F.lit("NULL")))))
     g = _bucketed(_grams(train_docs, text_col, lab.alias("__y")),
                   n_buckets, seed)
     counts = g.groupBy("bucket").agg(

@@ -73,6 +73,14 @@ def test_rejects_single_class_training(spark):
         train_quality_classifier(docs, "text", "label", alpha=0.0)
 
 
+def test_rejects_non_binary_labels(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", 1), (2, "d e f", 2), (3, "g h i", 0)],
+        "doc_id long, text string, label int")
+    with pytest.raises(Exception, match="label must be 0 or 1"):
+        quality_classifier(docs, "doc_id", "text", "label").collect()
+
+
 def test_weight_table_is_bounded_by_n_buckets(spark):
     docs = _labeled(spark)
     weights, _ = train_quality_classifier(docs, "text", "label",
