@@ -947,6 +947,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(items, queries, k=5, n_cells=8, nprobe=3, seed=11)
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k (operators/similarity.py ivf_pq_topk,
+    Jégou et al. 2011): coarse IVF probe + per-subspace product
+    quantization — items stored as m_sub small codes (32-64x smaller
+    than the float vectors, the index shape that actually fits memory
+    at 10^10 vectors), ADC scoring by lazy reconstruction, exact-cosine
+    re-rank of the top `refine` candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    items = emb.where(F.col("vec_id") >= 5)
+    return SIM.ivf_pq_topk(items, queries, k=5, n_cells=8, nprobe=3,
+                           m_sub=8, ks=16, refine=50, seed=11)
+
+
 def q_media_decode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = to_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"), kind="image")
@@ -1426,6 +1440,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_text_quality_classifier,
         "dedup_incremental_near": q_dedup_incremental_near,
         "dedup_substring_scrub": q_dedup_substring_scrub,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
     }
 
 
@@ -1659,6 +1674,122 @@ def _ivf_ann_sql(dim: int = 64, k: int = 5, n_cells: int = 8,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, item_id ASC) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _ivf_pq_sql(dim: int = 64, k: int = 5, n_cells: int = 8,
+                nprobe: int = 3, m_sub: int = 8, ks: int = 16,
+                refine: int = 50, seed: int = 11,
+                item_pred: str = "vec_id >= 5",
+                query_pred: str = "vec_id < 5") -> str:
+    """Mirror of ``ivf_pq_topk`` end to end: coarse centroid selection
+    and probing (identical to ``_ivf_ann_sql``), per-subspace PQ
+    codebook sampling (code = hash-order position), L2-argmin encoding,
+    ADC via reconstruction — ``xhat`` is built as ONE flat list
+    (``flatten(list(cvec ORDER BY j))``) so the dot product folds over
+    the same 64-element sequence as the Spark side's flattened
+    transform, bit-for-bit — refine cut, and exact-cosine re-rank."""
+    d0 = dim // m_sub
+    h = h60_sql(f"'cent{seed}:' || CAST(vec_id AS VARCHAR)")
+    cnorm = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+             f" i -> CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE))))")
+
+    def dot_c(vec: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}),"
+                f" i -> CAST({vec}[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))")
+
+    books = []
+    for j in range(m_sub):
+        hj = h60_sql(f"'pq{seed}:m{j}:' || CAST(vec_id AS VARCHAR)")
+        books.append(f"""bk{j} AS (
+          SELECT {j} AS j,
+                 row_number() OVER (ORDER BY h, i) - 1 AS code,
+                 sub AS cvec,
+                 list_sum(list_transform(range(1, {d0 + 1}),
+                   t -> CAST(sub[t] AS DOUBLE) * CAST(sub[t] AS DOUBLE)))
+                   AS sq
+          FROM (SELECT embedding[{j * d0 + 1}:{(j + 1) * d0}] AS sub,
+                       {hj} AS h, vec_id AS i
+                FROM embeddings WHERE {item_pred}
+                ORDER BY h, i LIMIT {ks}))""")
+    book_union = "\n              UNION ALL ".join(
+        f"SELECT * FROM bk{j}" for j in range(m_sub))
+    nq = (f"sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+          f" i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))")
+    adc_dot = (f"list_sum(list_transform(range(1, {dim + 1}),"
+               f" i -> CAST(qvec[i] AS DOUBLE) * CAST(xhat[i] AS DOUBLE)))")
+    cosx = (f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST(tv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))))")
+    return f"""
+        WITH cent0 AS (
+          SELECT vec_id AS cent_id, embedding AS cvec
+          FROM embeddings WHERE {item_pred}
+          ORDER BY {h}, vec_id LIMIT {n_cells}),
+        cent AS (SELECT cent_id, cvec, {cnorm} AS cn FROM cent0),
+        it0 AS (SELECT vec_id AS item_id, embedding AS ivec
+                FROM embeddings WHERE {item_pred}),
+        iass AS (
+          SELECT item_id, ivec, cent_id, {dot_c('ivec')} / cn AS s
+          FROM it0 CROSS JOIN cent),
+        it AS (
+          SELECT item_id, ivec, cent_id AS cell FROM iass
+          QUALIFY row_number() OVER (PARTITION BY item_id
+                                     ORDER BY s DESC, cent_id ASC) = 1),
+        q0 AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE {query_pred}),
+        qass AS (
+          SELECT query_id, qvec, cent_id, {dot_c('qvec')} / cn AS s
+          FROM q0 CROSS JOIN cent),
+        q AS (
+          SELECT query_id, qvec, cent_id AS cell FROM qass
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, cent_id ASC)
+                  <= {nprobe}),
+        {", ".join(books)},
+        book AS ({book_union}),
+        enc0 AS (
+          SELECT item_id, b.j, b.code,
+                 b.sq - 2.0 * list_sum(list_transform(
+                   range(1, {d0 + 1}),
+                   t -> CAST(ivec[b.j * {d0} + t] AS DOUBLE)
+                        * CAST(b.cvec[t] AS DOUBLE))) AS d
+          FROM it CROSS JOIN book b),
+        enc AS (
+          SELECT item_id, j, code FROM enc0
+          QUALIFY row_number() OVER (PARTITION BY item_id, j
+                                     ORDER BY d ASC, code ASC) = 1),
+        pqidx AS (
+          SELECT e.item_id,
+                 flatten(list(b.cvec ORDER BY e.j)) AS xhat,
+                 list_sum(list(b.sq ORDER BY e.j)) AS sq_sum
+          FROM enc e JOIN book b ON b.j = e.j AND b.code = e.code
+          GROUP BY e.item_id),
+        cand AS (
+          SELECT DISTINCT q.query_id, it.item_id,
+                 round({adc_dot} / ({nq} * sqrt(sq_sum)), 6) AS adc
+          FROM it JOIN q USING (cell)
+          JOIN pqidx p ON p.item_id = it.item_id
+          WHERE it.item_id != q.query_id),
+        short AS (
+          SELECT query_id, item_id FROM cand
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, item_id ASC)
+                  <= {refine}),
+        exact AS (
+          SELECT s.query_id, s.item_id, round({cosx}, 4) AS cos
+          FROM short s
+          JOIN (SELECT vec_id, embedding AS tv FROM embeddings) a
+            ON a.vec_id = s.item_id
+          JOIN (SELECT vec_id, embedding AS qv FROM embeddings) b
+            ON b.vec_id = s.query_id)
+        SELECT query_id, item_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, item_id ASC) AS rank
+        FROM exact QUALIFY rank <= {k}
     """
 
 
@@ -2415,4 +2546,6 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_substring_scrub"] = substring_scrub_sql(
         "documents", "doc_id", "text", k=SUBSTR_K)
+    sql["ann_ivf_pq_topk"] = _ivf_pq_sql(64, 5, 8, 3, m_sub=8, ks=16,
+                                         refine=50, seed=11)
     return sql

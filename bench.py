@@ -70,6 +70,7 @@ HEADLINE = [
     "text_quality_classifier",
     "dedup_incremental_near",
     "dedup_substring_scrub",
+    "ann_ivf_pq_topk",
 ]
 
 #: CDC end-to-end is measured at these multiples of the base op count —

@@ -590,3 +590,175 @@ def semdedup_sql(
                (drops.dropped IS NULL) AS keep
         FROM r LEFT JOIN drops ON r.item_id = drops.dropped
     """
+
+
+def pq_codebooks(
+    items: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m_sub: int = 8, ks: int = 16, seed: int = 11,
+) -> list[list[tuple[int, list[float], float]]]:
+    """Product-quantization sub-codebooks (Jégou et al. 2011): the
+    vector space is split into ``m_sub`` contiguous subspaces and each
+    gets ``ks`` sub-centroids — here a deterministic pseudo-random
+    sample per subspace (smallest portable hash of ``'pq{seed}:m{j}:'
+    || id``; code = position in hash order), the same cheap
+    oracle-exact initializer :func:`ivf_centroids` uses.  Real recall
+    wants k-means-refined codebooks — :func:`_lloyd_round`'s shape
+    applies per subspace unchanged.
+
+    Returns ``[subspace j][(code, components, sq_norm)]`` — the model
+    artifact is ``m_sub × ks × (dim/m_sub)`` floats (KBs), the thing PQ
+    exists to make small.  ``sq_norm`` is a left-fold in index order so
+    both engines reproduce it bit-for-bit.
+    """
+    from debezium_connector_db2_spark.functions.hashing import h60
+
+    dim = len(items.select(vec_col).first()[0])
+    if dim % m_sub:
+        raise ValueError(
+            f"pq_codebooks: dim {dim} not divisible by m_sub {m_sub}")
+    d0 = dim // m_sub
+    books = []
+    for j in range(m_sub):
+        rows = (items.select(
+            F.slice(F.col(vec_col), j * d0 + 1, d0).alias("sub"),
+            h60(F.concat(F.lit(f"pq{seed}:m{j}:"),
+                         F.col(id_col).cast("string"))).alias("h"),
+            F.col(id_col).alias("i"))
+            .orderBy("h", "i").limit(ks).collect())
+        book = []
+        for code, r in enumerate(rows):
+            comps = [float(x) for x in r.sub]
+            acc = 0.0
+            for x in comps:
+                acc += x * x
+            book.append((code, comps, acc))
+        books.append(book)
+    return books
+
+
+def ivf_pq_topk(
+    items: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 10, n_cells: int = 8, nprobe: int = 3,
+    m_sub: int = 8, ks: int = 16, refine: int = 50,
+    seed: int = 11, round_to: int = 4,
+    max_literal_terms: int = 20_000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-compression scale path.
+
+    At 10^10 vectors the float corpus does not fit an ANN index:
+    ``ivf_topk`` still scans full vectors inside probed cells.  PQ
+    stores each item as ``m_sub`` small codes (here 4 bits–1 byte each
+    — a 32–64× compression) and scores candidates against the (tiny)
+    codebooks instead of the raw vectors:
+
+    1. coarse IVF: items → nearest centroid cell; queries probe their
+       ``nprobe`` cells (:func:`ivf_centroids`, literal strategy);
+    2. encode: per item per subspace, the L2-nearest sub-centroid
+       (map-side only — the codebook rides the plan as literals);
+    3. ADC: candidate similarity = ``cos(q, reconstruct(codes))``,
+       computed by lazily reconstructing the quantized vector from the
+       code array — mathematically identical to the classic per-query
+       lookup-table ADC (the dot product decomposes over concatenated
+       subspaces) and zero-shuffle here;
+    4. exact re-rank: the top ``refine`` ADC candidates per query join
+       back to the true vectors for exact cosine; final top-``k``.
+
+    The codebook/centroid literals are bounded by
+    ``max_literal_terms`` (raises if exceeded): for bigger models the
+    broadcast-DataFrame strategy of :func:`ivf_topk` applies to both
+    levels unchanged.  Output ``(query_id, item_id, cos, rank)`` —
+    ``cos`` is the exact value, same contract as the other ANN paths.
+    """
+    cents = ivf_centroids(items, id_col, vec_col, n_cells, seed)
+    dim = len(cents[0][1]) if cents else 0
+    books = pq_codebooks(items, id_col, vec_col, m_sub=m_sub, ks=ks,
+                         seed=seed)
+    d0 = dim // m_sub
+    n_terms = len(cents) * dim + m_sub * ks * d0
+    if n_terms > max_literal_terms:
+        raise ValueError(
+            f"ivf_pq_topk: {n_terms} literal terms exceeds "
+            f"max_literal_terms={max_literal_terms}; use the broadcast "
+            f"strategy (see ivf_topk) for models this size")
+
+    #: nested literals: CBV[j][code] = sub-centroid vector,
+    #: CBS[j][code] = its squared norm (left-fold, engine-identical)
+    cbv = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in comps])
+                  for _, comps, _ in book])
+        for book in books])
+    cbs = F.array(*[
+        F.array(*[F.lit(sq) for _, _, sq in book])
+        for book in books])
+
+    it = items.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).alias("ivec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+
+    # coarse cells (literal strategy — identical rule to ivf_topk)
+    it = it.withColumn(
+        "cell", -F.array_max(_cell_scores(F.col("ivec"), cents))["ncid"])
+    q = (q.withColumn(
+        "__top",
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col("qvec"),
+                                                    cents))), 1, nprobe))
+        .select("query_id", "qvec", F.explode("__top").alias("__p"))
+        .withColumn("cell", -F.col("__p.ncid")).drop("__p"))
+
+    # encode: per subspace j, the L2-nearest code (ties → smaller code).
+    # ||x_sub - c||² argmin == argmin over (|c|² - 2·dot) — |x_sub|² is
+    # constant per subspace and cannot change the argmin, so it is left
+    # out (same trick as _cell_scores).
+    def _code(j: int):
+        sub = F.slice(F.col("ivec"), j * d0 + 1, d0)
+        scores = F.array(*[
+            F.struct(
+                (F.lit(sq) - F.lit(2.0) * _dot(
+                    sub, F.array(*[F.lit(x) for x in comps]))).alias("d"),
+                F.lit(code).cast("long").alias("code"),
+            )
+            for code, comps, sq in books[j]])
+        return F.array_min(scores)["code"]
+
+    it = it.withColumn("codes", F.array(*[_code(j)
+                                          for j in range(m_sub)]))
+    # the PQ index row is (item_id, cell, codes) — at corpus scale THIS
+    # is what you persist; ivec below is only read again by the exact
+    # re-rank join
+    index = it.select("item_id", "cell", "codes")
+
+    # ADC: reconstruct x̂ from codes (lazy, per candidate) and score
+    # cos(q, x̂) with the same flat left-folds the oracle uses
+    xhat = F.flatten(F.transform(
+        F.col("codes"), lambda c, j: F.get(F.get(cbv, j), c.cast("int"))))
+    xnorm = F.sqrt(F.aggregate(
+        F.transform(F.col("codes"),
+                    lambda c, j: F.get(F.get(cbs, j), c.cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v))
+    adc = F.round(_dot(F.col("qvec"), xhat)
+                  / (_norm(F.col("qvec")) * xnorm), 6)
+    cand = (index.join(F.broadcast(q), "cell")
+            .where(F.col("item_id") != F.col("query_id"))
+            .select("query_id", "item_id", adc.alias("__adc"))
+            .distinct())
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.asc("item_id"))
+    short = (cand.withColumn("__r", F.row_number().over(wr))
+             .where(F.col("__r") <= refine)
+             .select("query_id", "item_id"))
+
+    # exact re-rank over Q×refine rows only
+    truth = items.select(F.col(id_col).alias("item_id"),
+                         F.col(vec_col).alias("__tv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    exact = (short.join(truth, "item_id").join(F.broadcast(qv), "query_id")
+             .select("query_id", "item_id",
+                     F.round(cosine_expr(F.col("__tv"), F.col("__qv")),
+                             round_to).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("item_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

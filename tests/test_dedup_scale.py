@@ -491,3 +491,59 @@ def test_lloyd_round_ragged_vectors_raise(spark):
         emb.where(F.col("vec_id") < 20), n_cells=2, seed=11)
     with pytest.raises(ValueError, match="ragged"):
         _lloyd_round(emb, "vec_id", "embedding", cents)
+
+
+def test_ivf_pq_topk_recall_plan_and_guard(spark):
+    """IVF-PQ: codes are in [0, ks), the candidate path is cell
+    equi-joins + code reconstruction (no cartesian), top-1 recall vs
+    brute force stays high on clustered data (the exact re-rank fixes
+    the quantization error for anything the probe reaches), and the
+    literal-budget guard raises on oversized models."""
+    import math as m
+
+    import pytest as _pytest
+
+    from debezium_connector_db2_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    dim = 16
+
+    def vec(center, jitter_seed):
+        return [m.sin(center * 13 + i) + 0.05 * m.sin(jitter_seed * 7 + i)
+                for i in range(dim)]
+
+    rows = [(c * 100 + j, vec(c, j)) for c in range(4) for j in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    queries = emb.where("vec_id % 100 < 2")
+    items = emb.where("vec_id % 100 >= 2")
+
+    exact = cosine_topk(items, queries, k=1)
+    approx = ivf_pq_topk(items, queries, k=1, n_cells=6, nprobe=3,
+                         m_sub=4, ks=8, refine=30, seed=3)
+    want = {(r.query_id, r.item_id) for r in exact.collect()}
+    got = {(r.query_id, r.item_id) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.75, f"IVF-PQ top-1 recall {recall}"
+    # exact re-rank contract: reported cos equals the true cosine
+    ex = {(r.query_id, r.item_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.item_id) in ex:
+            assert r.cos == ex[(r.query_id, r.item_id)]
+
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    books = pq_codebooks(items, m_sub=4, ks=8, seed=3)
+    assert len(books) == 4
+    for book in books:
+        assert [c for c, _, _ in book] == list(range(len(book)))
+        assert all(len(comps) == dim // 4 for _, comps, _ in book)
+
+    with _pytest.raises(ValueError, match="dim 16 not divisible"):
+        pq_codebooks(items, m_sub=5, ks=8, seed=3)
+    with _pytest.raises(ValueError, match="literal terms"):
+        ivf_pq_topk(items, queries, m_sub=4, ks=8, seed=3,
+                    max_literal_terms=10)
