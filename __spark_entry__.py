@@ -1411,7 +1411,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r06 or earlier) here so the 13 LLM-pipeline rows plus
     the two new round-7 rows get driver-side evidence;
     tests/test_oracle_parity.py runs these under the exact driver
-    compare."""
+    compare.
+
+    Round-8 rotation note: the five round-7 SESSION additions at the
+    bottom (text_ccnet_bucket, text_quality_classifier,
+    dedup_incremental_near, dedup_substring_scrub, ann_ivf_pq_topk)
+    have parity-suite evidence only — seat them in queries() next
+    round by parking five long-green CDC rows here."""
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
         "cdc_max_lsn_probe": q_cdc_max_lsn_probe,
