@@ -592,18 +592,79 @@ def semdedup_sql(
     """
 
 
+def _pq_lloyd_round(
+    items: DataFrame, vec_col: str,
+    books: list[list[tuple[int, list[float], float]]],
+) -> list[list[tuple[int, list[float], float]]]:
+    """One k-means round over ALL subspaces in a single job: every
+    subvector is assigned to its L2-nearest code under the SAME rule
+    the encoder uses (``|c|² − 2·dot`` argmin, ties to the smaller
+    code), then each code moves to its members' element-wise mean.
+
+    Scale shape mirrors :func:`_lloyd_round`: assignment is map-side
+    (literal codebooks), the mean is one map-side-combined groupBy on
+    ``(subspace, code, component)`` — shuffle volume is
+    ``m_sub × ks × d0`` partial sums per partition regardless of corpus
+    size, and the driver collects only the model. Empty codes keep
+    their previous sub-centroid; code labels are stable across rounds.
+    """
+    m_sub = len(books)
+    d0 = len(books[0][0][1])
+    subs = []
+    for j in range(m_sub):
+        sub = F.slice(F.col(vec_col), j * d0 + 1, d0)
+        scores = F.array(*[
+            F.struct(
+                (F.lit(sq) - F.lit(2.0) * _dot(
+                    sub, F.array(*[F.lit(x) for x in comps]))).alias("d"),
+                F.lit(code).cast("long").alias("code"),
+            )
+            for code, comps, sq in books[j]])
+        subs.append(F.struct(F.lit(j).alias("j"),
+                             F.array_min(scores)["code"].alias("code"),
+                             sub.alias("s")))
+    rows = (items.select(F.explode(F.array(*subs)).alias("e"))
+            .select("e.j", "e.code", F.posexplode("e.s").alias("i", "x"))
+            .groupBy("j", "code", "i")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect())
+    got: dict[tuple[int, int], dict[int, tuple]] = {}
+    for r in rows:
+        got.setdefault((int(r.j), int(r.code)), {})[int(r.i)] = (
+            float(r.s), int(r.n))
+    out = []
+    for j, book in enumerate(books):
+        nb = []
+        for code, comps, sq in book:
+            comp_sums = got.get((j, code))
+            if not comp_sums:
+                nb.append((code, comps, sq))  # empty code: keep
+                continue
+            mean = [comp_sums[i][0] / comp_sums[i][1]
+                    for i in range(len(comps))]
+            acc = 0.0
+            for x in mean:
+                acc += x * x
+            nb.append((code, mean, acc))
+        out.append(nb)
+    return out
+
+
 def pq_codebooks(
     items: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     m_sub: int = 8, ks: int = 16, seed: int = 11,
+    refine_iters: int = 0,
 ) -> list[list[tuple[int, list[float], float]]]:
     """Product-quantization sub-codebooks (Jégou et al. 2011): the
     vector space is split into ``m_sub`` contiguous subspaces and each
     gets ``ks`` sub-centroids — here a deterministic pseudo-random
     sample per subspace (smallest portable hash of ``'pq{seed}:m{j}:'
     || id``; code = position in hash order), the same cheap
-    oracle-exact initializer :func:`ivf_centroids` uses.  Real recall
-    wants k-means-refined codebooks — :func:`_lloyd_round`'s shape
-    applies per subspace unchanged.
+    oracle-exact initializer :func:`ivf_centroids` uses — optionally
+    refined by ``refine_iters`` rounds of per-subspace k-means
+    (:func:`_pq_lloyd_round`; the graded oracle row runs 0 iters, real
+    recall wants a few).
 
     Returns ``[subspace j][(code, components, sq_norm)]`` — the model
     artifact is ``m_sub × ks × (dim/m_sub)`` floats (KBs), the thing PQ
@@ -633,6 +694,8 @@ def pq_codebooks(
                 acc += x * x
             book.append((code, comps, acc))
         books.append(book)
+    for _ in range(refine_iters):
+        books = _pq_lloyd_round(items, vec_col, books)
     return books
 
 
@@ -643,6 +706,7 @@ def ivf_pq_topk(
     m_sub: int = 8, ks: int = 16, refine: int = 50,
     seed: int = 11, round_to: int = 4,
     max_literal_terms: int = 20_000,
+    pq_refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the memory-compression scale path.
 
@@ -673,7 +737,7 @@ def ivf_pq_topk(
     cents = ivf_centroids(items, id_col, vec_col, n_cells, seed)
     dim = len(cents[0][1]) if cents else 0
     books = pq_codebooks(items, id_col, vec_col, m_sub=m_sub, ks=ks,
-                         seed=seed)
+                         seed=seed, refine_iters=pq_refine_iters)
     d0 = dim // m_sub
     n_terms = len(cents) * dim + m_sub * ks * d0
     if n_terms > max_literal_terms:

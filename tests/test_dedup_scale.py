@@ -547,3 +547,48 @@ def test_ivf_pq_topk_recall_plan_and_guard(spark):
     with _pytest.raises(ValueError, match="literal terms"):
         ivf_pq_topk(items, queries, m_sub=4, ks=8, seed=3,
                     max_literal_terms=10)
+
+
+def test_pq_lloyd_refinement_reduces_distortion(spark):
+    """Per-subspace k-means refinement must not increase (and on
+    clustered data strictly decreases) the PQ quantization distortion
+    E||x_sub - c_code||² summed over subspaces."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from debezium_connector_db2_spark.operators.similarity import (
+        _dot, pq_codebooks)
+
+    dim, m_sub = 16, 4
+    d0 = dim // m_sub
+
+    def vec(center, jitter_seed):
+        return [m.sin(center * 13 + i) + 0.05 * m.sin(jitter_seed * 7 + i)
+                for i in range(dim)]
+
+    rows = [(c * 100 + j, vec(c, j)) for c in range(4) for j in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def distortion(books):
+        terms = []
+        for j in range(m_sub):
+            sub = F.slice(F.col("embedding"), j * d0 + 1, d0)
+            d2 = F.array(*[
+                _dot(F.zip_with(sub, F.array(*[F.lit(x) for x in comps]),
+                                lambda a, b: a - b),
+                     F.zip_with(sub, F.array(*[F.lit(x) for x in comps]),
+                                lambda a, b: a - b))
+                for _, comps, _ in books[j]])
+            terms.append(F.array_min(d2))
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return emb.agg(F.avg(total)).collect()[0][0]
+
+    init = pq_codebooks(emb, m_sub=m_sub, ks=4, seed=3)
+    refined = pq_codebooks(emb, m_sub=m_sub, ks=4, seed=3,
+                           refine_iters=3)
+    d_init, d_ref = distortion(init), distortion(refined)
+    assert d_ref <= d_init * (1 + 1e-9)
+    assert d_ref < d_init * 0.9, (d_init, d_ref)  # clustered: real gain
