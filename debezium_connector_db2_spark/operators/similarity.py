@@ -27,6 +27,30 @@ def _dot(a, b):
     )
 
 
+def _lit_text(v) -> str:
+    """SQL text of a (possibly nested) double/long literal array.
+
+    Value-exact: ``repr(float)`` is the shortest round-tripping decimal
+    and both engines' parsers round it to the identical IEEE double; the
+    ``D`` suffix keeps Spark from reading plain decimals as DECIMAL.
+    """
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_lit_text(x) for x in v) + ")"
+    if isinstance(v, int):
+        return f"{v}L"
+    return f"{float(v)!r}D"
+
+
+def _alit(v) -> F.Column:
+    """Array literal in ONE py4j call.  ``F.array(*[F.lit(x) ...])``
+    costs two driver round-trips per element — building the PQ
+    encoder's 1024-term codebook that way measured ~4 s of pure
+    plan-construction time per call (the query itself ran in 1.3 s);
+    shipping the SQL text once and letting Catalyst parse/fold it is
+    O(1) round-trips for the same literal tree."""
+    return F.expr(_lit_text(v))
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -87,7 +111,7 @@ def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, seed: int = 7):
     """Sign-LSH bucket id: bit i = sign(v · plane_i)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _plane(dim, p, seed)])
+        plane = _alit(_plane(dim, p, seed))  # one-call literal (_alit)
         bucket = bucket + F.when(_dot(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -308,15 +332,22 @@ def _cell_scores(vec_col, cents) -> F.Column:
     """Array of struct(score, -cent_id) per centroid; score = dot/|c|
     (the row's own norm is constant across cells, so it can't change the
     argmax and is left out).  All-literal centroid arrays keep this one
-    map-side pass with zero shuffle."""
-    return F.array(*[
-        F.struct(
-            (_dot(vec_col, F.array(*[F.lit(c) for c in comps]))
-             / F.lit(cnorm)).alias("s"),
-            F.lit(-cent_id).cast("long").alias("ncid"),
-        )
-        for cent_id, comps, cnorm in cents
-    ])
+    map-side pass with zero shuffle.
+
+    Built as ONE ``transform`` over the literal centroid matrix instead
+    of a per-centroid ``F.array(struct(_dot(...)))`` comprehension: the
+    element values (same dot, same norm division, same ``-cent_id`` long,
+    same array order) are identical, but construction is O(1) driver
+    round-trips instead of O(n_cells × dim) — see :func:`_alit`.
+    """
+    if not cents:
+        return F.array()
+    cv = _alit([comps for _, comps, _ in cents])
+    cn = _alit([float(cnorm) for _, _, cnorm in cents])
+    nid = _alit([-int(cent_id) for cent_id, _, _ in cents])
+    return F.transform(cv, lambda comps, i: F.struct(
+        (_dot(vec_col, comps) / F.get(cn, i)).alias("s"),
+        F.get(nid, i).alias("ncid")))
 
 
 def ivf_topk(
@@ -613,13 +644,12 @@ def _pq_lloyd_round(
     subs = []
     for j in range(m_sub):
         sub = F.slice(F.col(vec_col), j * d0 + 1, d0)
-        scores = F.array(*[
-            F.struct(
-                (F.lit(sq) - F.lit(2.0) * _dot(
-                    sub, F.array(*[F.lit(x) for x in comps]))).alias("d"),
-                F.lit(code).cast("long").alias("code"),
-            )
-            for code, comps, sq in books[j]])
+        cv = _alit([comps for _, comps, _ in books[j]])
+        cs = _alit([float(sq) for _, _, sq in books[j]])
+        cd = _alit([int(code) for code, _, _ in books[j]])
+        scores = F.transform(cv, lambda comps, i: F.struct(
+            (F.get(cs, i) - F.lit(2.0) * _dot(sub, comps)).alias("d"),
+            F.get(cd, i).alias("code")))
         subs.append(F.struct(F.lit(j).alias("j"),
                              F.array_min(scores)["code"].alias("code"),
                              sub.alias("s")))
@@ -673,22 +703,49 @@ def pq_codebooks(
     """
     from debezium_connector_db2_spark.functions.hashing import h60
 
-    dim = len(items.select(vec_col).first()[0])
+    # Single-pass initialization (round-8 optimization): the old form ran
+    # m_sub+1 full-corpus jobs — one ``first()`` for dim plus one
+    # ``orderBy(h, i).limit(ks)`` TakeOrdered PER subspace.  All m_sub
+    # samples are per-subspace hash orders over the SAME rows, so one job
+    # computes every subspace's hash column (explode to (j, h, id) — 3
+    # narrow longs per row, never the vector) and ranks all subspaces at
+    # once; a second, id-pruned job fetches only the m_sub×ks winning
+    # vectors.  2 corpus-touching jobs total, and only the first scans
+    # every row — the guide-§8 "decide with small rows" shape.  The
+    # winner set (h-order per subspace, ties by id) and the sliced
+    # components are identical to the per-subspace TakeOrdered's.
+    id_str = F.col(id_col).cast("string")
+    structs = [
+        F.struct(F.lit(j).alias("j"),
+                 h60(F.concat(F.lit(f"pq{seed}:m{j}:"), id_str)).alias("h"),
+                 F.col(id_col).alias("i"))
+        for j in range(m_sub)]
+    wj = Window.partitionBy("j").orderBy("h", "i")
+    winners = (items.select(F.explode(F.array(*structs)).alias("e"))
+               .select("e.j", "e.h", "e.i")
+               .withColumn("__r", F.row_number().over(wj))
+               .where(F.col("__r") <= ks)
+               .select("j", "i", "__r")
+               .collect())
+    ids = sorted({r.i for r in winners})
+    vec_rows = (items.where(F.col(id_col).isin(ids))
+                .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+                .collect())
+    vecs = {r.i: [float(x) for x in r.v] for r in vec_rows}
+    dim = len(next(iter(vecs.values()))) if vecs else 0
     if dim % m_sub:
         raise ValueError(
             f"pq_codebooks: dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
+    by_j: dict[int, list] = {}
+    for r in winners:
+        by_j.setdefault(int(r.j), []).append(r)
     books = []
     for j in range(m_sub):
-        rows = (items.select(
-            F.slice(F.col(vec_col), j * d0 + 1, d0).alias("sub"),
-            h60(F.concat(F.lit(f"pq{seed}:m{j}:"),
-                         F.col(id_col).cast("string"))).alias("h"),
-            F.col(id_col).alias("i"))
-            .orderBy("h", "i").limit(ks).collect())
         book = []
-        for code, r in enumerate(rows):
-            comps = [float(x) for x in r.sub]
+        for code, r in enumerate(sorted(by_j.get(j, []),
+                                        key=lambda x: x["__r"])):
+            comps = vecs[r.i][j * d0:(j + 1) * d0]
             acc = 0.0
             for x in comps:
                 acc += x * x
@@ -747,14 +804,10 @@ def ivf_pq_topk(
             f"strategy (see ivf_topk) for models this size")
 
     #: nested literals: CBV[j][code] = sub-centroid vector,
-    #: CBS[j][code] = its squared norm (left-fold, engine-identical)
-    cbv = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in comps])
-                  for _, comps, _ in book])
-        for book in books])
-    cbs = F.array(*[
-        F.array(*[F.lit(sq) for _, _, sq in book])
-        for book in books])
+    #: CBS[j][code] = its squared norm (left-fold, engine-identical);
+    #: one-call literal builds (_alit) — see the construction-cost note
+    cbv = _alit([[comps for _, comps, _ in book] for book in books])
+    cbs = _alit([[float(sq) for _, _, sq in book] for book in books])
 
     it = items.select(F.col(id_col).alias("item_id"),
                       F.col(vec_col).alias("ivec"))
@@ -777,13 +830,14 @@ def ivf_pq_topk(
     # out (same trick as _cell_scores).
     def _code(j: int):
         sub = F.slice(F.col("ivec"), j * d0 + 1, d0)
-        scores = F.array(*[
-            F.struct(
-                (F.lit(sq) - F.lit(2.0) * _dot(
-                    sub, F.array(*[F.lit(x) for x in comps]))).alias("d"),
-                F.lit(code).cast("long").alias("code"),
-            )
-            for code, comps, sq in books[j]])
+        cv = _alit([comps for _, comps, _ in books[j]])
+        cs = _alit([float(sq) for _, _, sq in books[j]])
+        cd = _alit([int(code) for code, _, _ in books[j]])
+        # one transform per subspace instead of ks per-code _dot builds
+        # (identical element values and order → identical argmin)
+        scores = F.transform(cv, lambda comps, i: F.struct(
+            (F.get(cs, i) - F.lit(2.0) * _dot(sub, comps)).alias("d"),
+            F.get(cd, i).alias("code")))
         return F.array_min(scores)["code"]
 
     it = it.withColumn("codes", F.array(*[_code(j)
@@ -803,10 +857,15 @@ def ivf_pq_topk(
         F.lit(0.0), lambda acc, v: acc + v))
     adc = F.round(_dot(F.col("qvec"), xhat)
                   / (_norm(F.col("qvec")) * xnorm), 6)
+    # no distinct: (query_id, item_id) candidate pairs are unique by
+    # construction — each item lands in exactly ONE coarse cell (the
+    # argmax above) and a query's probed cells are distinct slices of one
+    # sorted array, so the cell equi-join cannot emit a pair twice.  A
+    # distinct here added a full exchange + hash-dedup of the candidate
+    # set (the operator's largest intermediate) for nothing.
     cand = (index.join(F.broadcast(q), "cell")
             .where(F.col("item_id") != F.col("query_id"))
-            .select("query_id", "item_id", adc.alias("__adc"))
-            .distinct())
+            .select("query_id", "item_id", adc.alias("__adc")))
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("__adc"), F.asc("item_id"))
     short = (cand.withColumn("__r", F.row_number().over(wr))
