@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.caching import carry_pin, pin_for_result
 from ..functions.hashing import seeded, seeded_sql
 from ..functions.portable_math import portable_ln, portable_ln_sql
 from ..functions.text import word_shingles, word_shingles_sql
@@ -88,30 +89,54 @@ def train_quality_classifier(train_docs: DataFrame, text_col: str,
     and division runs engine-side from exact integer counts — the
     DuckDB twin computes bit-identical weights.
     """
-    a = float(alpha)
-    if a <= 0.0:
-        raise ValueError(f"train_quality_classifier: alpha must be > 0, "
-                         f"got {alpha!r}")
-    # lazy engine-side guard: a label outside {0, 1} (or NULL) would
-    # silently corrupt BOTH class counts (sum(__y) and sum(1-__y)) —
-    # raise at execution instead
-    lab = F.when(F.col(label_col).cast("long").isin(0, 1),
-                 F.col(label_col).cast("long")).otherwise(
+    lab = _label_guard(label_col)
+    g = _bucketed(_grams(train_docs, text_col, lab.alias("__y")),
+                  n_buckets, seed)
+    return _train_over(g, train_docs, lab, n_buckets=n_buckets,
+                       alpha=alpha)
+
+
+def _label_guard(label_col: str) -> F.Column:
+    """Lazy engine-side guard: a label outside {0, 1} (or NULL) would
+    silently corrupt BOTH class counts (sum(__y) and sum(1-__y)) —
+    raise at execution instead."""
+    return F.when(F.col(label_col).cast("long").isin(0, 1),
+                  F.col(label_col).cast("long")).otherwise(
         F.raise_error(F.concat(
             F.lit("train_quality_classifier: label must be 0 or 1, "
                   "got "),
             F.coalesce(F.col(label_col).cast("string"),
                        F.lit("NULL")))))
-    g = _bucketed(_grams(train_docs, text_col, lab.alias("__y")),
-                  n_buckets, seed)
+
+
+def _train_over(g: DataFrame, train_docs: DataFrame, lab: F.Column,
+                n_buckets: int, alpha: float) -> tuple[DataFrame, DataFrame]:
+    """Training tail over a pre-bucketed ``(bucket, __y)`` gram frame —
+    shared by :func:`train_quality_classifier` (own gram pass) and
+    :func:`quality_classifier` (gram pass shared with serving)."""
+    a = float(alpha)
+    if a <= 0.0:
+        raise ValueError(f"train_quality_classifier: alpha must be > 0, "
+                         f"got {alpha!r}")
+    # persist the (≤ n_buckets)-row count table: the weights broadcast
+    # build and the scalars broadcast build (via totals) are two
+    # consumers that would each re-run the full gram explode + groupBy
+    # over the training corpus.  Pinned to the returned weights frame;
+    # quality_classifier carries the pin onto its scored result.
     counts = g.groupBy("bucket").agg(
         F.sum("__y").alias("c1"),
-        F.sum(F.lit(1) - F.col("__y")).alias("c0"))
+        F.sum(F.lit(1) - F.col("__y")).alias("c0")).persist()
     totals = counts.agg(F.sum("c1").alias("t1"), F.sum("c0").alias("t0"))
-    priors = train_docs.agg(
+    # one eager collect serves BOTH the class-presence check and the
+    # prior log-ratio (previously the priors frame was evaluated twice:
+    # once for the check, once inside the scalars broadcast build —
+    # each a full scan of the training frame).  The counts are exact
+    # longs, so embedding them as literals is value-identical.
+    pr = train_docs.agg(
         F.sum(lab).alias("n1"),
-        F.sum(F.lit(1) - lab).alias("n0"))
-    if priors.where((F.col("n1") == 0) | (F.col("n0") == 0)).count():
+        F.sum(F.lit(1) - lab).alias("n0")).collect()[0]
+    n1, n0 = int(pr["n1"] or 0), int(pr["n0"] or 0)
+    if n1 == 0 or n0 == 0:
         raise ValueError("train_quality_classifier: both classes must be "
                          "present in the training frame")
     B = F.lit(float(int(n_buckets)))
@@ -128,14 +153,14 @@ def train_quality_classifier(train_docs: DataFrame, text_col: str,
                .select("bucket",
                        (lp(F.col("c1"), F.col("t1"))
                         - lp(F.col("c0"), F.col("t0"))).alias("w")))
-    scalars = (totals.crossJoin(priors)
+    scalars = (totals
                .select((lp(F.lit(0.0), F.col("t1"))
                         - lp(F.lit(0.0), F.col("t0"))).alias("w_oov"),
-                       F.round(portable_ln(F.col("n1").cast("double")
-                                           / F.col("n0").cast("double"))
+                       F.round(portable_ln(F.lit(float(n1))
+                                           / F.lit(float(n0)))
                                * F.lit(W_SCALE)).cast("long")
                        .alias("bias")))
-    return weights, scalars
+    return pin_for_result(weights, counts), scalars
 
 
 def classifier_score(docs: DataFrame, id_col: str, text_col: str,
@@ -153,6 +178,13 @@ def classifier_score(docs: DataFrame, id_col: str, text_col: str,
     ``n_buckets``/``seed`` must match training.
     """
     g = _bucketed(_grams(docs, text_col, F.col(id_col)), n_buckets, seed)
+    return _score_grams(g, id_col, weights, scalars)
+
+
+def _score_grams(g: DataFrame, id_col: str, weights: DataFrame,
+                 scalars: DataFrame) -> DataFrame:
+    """Serving tail over a pre-bucketed ``(id_col, bucket)`` gram frame
+    (see :func:`classifier_score` for the plan contract)."""
     summed = (g.join(F.broadcast(weights), "bucket", "left")
               .crossJoin(F.broadcast(scalars))
               .groupBy(id_col)
@@ -182,12 +214,25 @@ def quality_classifier(docs: DataFrame, id_col: str, text_col: str,
     """Self-train-and-score convenience (the graded shape): train NB on
     ``docs``'s own 0/1 ``label_col`` and score every doc.  The real
     deployment trains on a labeled slice and scores the corpus — the
-    plan is identical (the model side broadcasts either way)."""
-    weights, scalars = train_quality_classifier(
-        docs, text_col, label_col, n_buckets=n_buckets, alpha=alpha,
-        seed=seed)
-    return classifier_score(docs, id_col, text_col, weights, scalars,
-                            n_buckets=n_buckets, seed=seed)
+    plan is identical (the model side broadcasts either way).
+
+    Because train and score read the SAME frame here, the bucketed gram
+    explode (the dominant cost: shingle build + seeded md5 per gram) is
+    computed once and shared: one cached gram frame feeds the training
+    ``groupBy(bucket)`` and the serving join.  The two-frame deployment
+    keeps the separate :func:`train_quality_classifier` /
+    :func:`classifier_score` entry points (there the training slice is
+    small and sharing is moot).
+    """
+    lab = _label_guard(label_col)
+    g = _bucketed(_grams(docs, text_col,
+                         F.col(id_col), lab.alias("__y")),
+                  n_buckets, seed).persist()
+    weights, scalars = _train_over(g.drop(id_col), docs, lab,
+                                   n_buckets=n_buckets, alpha=alpha)
+    out = _score_grams(g.drop("__y"), id_col, weights, scalars)
+    out = pin_for_result(out, g)
+    return carry_pin(out, weights)
 
 
 def quality_classifier_sql(table: str, id_col: str, text_col: str,

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from debezium_connector_db2_spark.functions.caching import (
-    pin_for_result, tie_lifetime)
+    carry_pin, pin_for_result, tie_lifetime)
 from debezium_connector_db2_spark.functions.text import (
     fingerprint, fingerprint_sql)
 from debezium_connector_db2_spark.operators.lm_score import (
@@ -64,9 +64,15 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     """
     meas = gopher_quality(docs, id_col, text_col=text_col,
                           keep_cols=[text_col], **(gopher_kwargs or {}))
+    # surv feeds the LM trainer's scalar collect, the LM vocab build,
+    # the scoring pass, the j build, and (in the near-dup branch) the
+    # kept_docs semi-join — five consumers, each otherwise re-running
+    # the corpus scan + gopher rules + fingerprint.  Persist eagerly so
+    # lm_score's construction-time collect materializes the cache; the
+    # pin is released with the result (pin_for_result at the returns).
     surv = (meas.where("passes")
             .select(id_col, text_col,
-                    fingerprint(F.col(text_col)).alias("__fp")))
+                    fingerprint(F.col(text_col)).alias("__fp"))).persist()
     scores = lm_score(surv, id_col, text_col)
     j = (surv.select(id_col, "__fp")
          .join(scores.select(id_col, "avg_nll"), id_col))
@@ -86,12 +92,15 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     )
     kept = staged.where(F.col("__rn") == 1).select(id_col)
     if near_dup_kwargs is None:
-        # pin j (narrow: id, fp, avg_nll) for the result's lifetime —
-        # three verdict branches consume it (lm-fail, dup, kept) and
-        # would otherwise re-run the LM scoring shuffle once each
-        return pin_for_result(
+        # pin j (narrow: id, fp, avg_nll) + surv for the result's
+        # lifetime — three verdict branches consume j (lm-fail, dup,
+        # kept) and would otherwise re-run the LM scoring shuffle once
+        # each; scores' vocab-counts pin rides along (carry_pin) so j's
+        # one materialization reads the cached counts too
+        return carry_pin(pin_for_result(
             base.unionByName(
-                kept.select(id_col, F.lit("kept").alias("verdict"))), j)
+                kept.select(id_col, F.lit("kept").alias("verdict"))),
+            j, surv), scores)
 
     from debezium_connector_db2_spark.operators.dedup_text import (
         dedup_clusters, minhash_lsh_pairs)
@@ -113,12 +122,14 @@ def corpus_funnel(docs: DataFrame, id_col: str, text_col: str = "text",
     # dedup_clusters scopes its label-spill scratch dir (and cache pins)
     # to ITS returned object; the funnel result reads those spilled
     # files, so tie the clusters frame's lifetime to the result (and
-    # funnel_report chains the tie onto its own output).  j is pinned
-    # too: four branches re-derive it otherwise (lm-fail, dup, kept,
-    # and the near stage's kept_docs semi-join), each paying the LM
-    # scoring shuffle again.
-    return pin_for_result(
-        tie_lifetime(base.unionByName(verdict4), clusters), j)
+    # funnel_report chains the tie onto its own output).  j and surv are
+    # pinned too: four branches re-derive j otherwise (lm-fail, dup,
+    # kept, and the near stage's kept_docs semi-join), each paying the
+    # LM scoring shuffle again; surv's cache additionally spares the
+    # near stage's kept_docs from a fresh gopher+fingerprint pass.
+    return carry_pin(pin_for_result(
+        tie_lifetime(base.unionByName(verdict4), clusters), j, surv),
+        scores)
 
 
 def funnel_report(verdicts: DataFrame) -> DataFrame:

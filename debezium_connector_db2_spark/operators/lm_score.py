@@ -46,6 +46,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.caching import carry_pin, pin_for_result
 from ..functions.portable_math import portable_ln, portable_ln_sql
 
 #: Quantization scale for per-word log-probs (deci-milli-nats).
@@ -73,13 +74,20 @@ def unigram_vocab(docs: DataFrame, text_col: str, id_col: str,
     is the same distribution merely truncated, and adding capacity
     never changes retained words' scores.
     """
-    counts = (_tokens(docs, id_col, text_col)
-              .groupBy("word").agg(F.count("*").alias("c")))
-    n_total, v_size = counts.agg(
+    # persist the word counts: the (N, V) scalar collect below and the
+    # broadcast vocab build at score time are two consumers of the same
+    # tokenize+groupBy — without the cache each pays its own full token
+    # pass over the corpus.  The collect materializes the cache; the pin
+    # is released when the caller drops the returned vocab frame (or the
+    # result lm_score transfers it to — see carry_pin there).
+    counts0 = (_tokens(docs, id_col, text_col)
+               .groupBy("word").agg(F.count("*").alias("c"))).persist()
+    n_total, v_size = counts0.agg(
         F.sum("c"), F.count("*")).collect()[0]
     denom = float(n_total) + alpha * (float(v_size) + 1.0)
+    counts = counts0
     if max_vocab is not None:
-        counts = (counts.orderBy(F.col("c").desc(), F.col("word"))
+        counts = (counts0.orderBy(F.col("c").desc(), F.col("word"))
                   .limit(int(max_vocab)))
     # portable_ln, NOT F.log: a 1-ulp JVM-vs-DuckDB ln() difference
     # flips the deci-milli-nat quantization across a .5 boundary
@@ -95,7 +103,7 @@ def unigram_vocab(docs: DataFrame, text_col: str, id_col: str,
     # round() is half-even); the argument is always negative
     x = math.log(alpha / denom) * LP_SCALE
     oov_u = -int(math.floor(-x + 0.5))
-    return vocab, oov_u
+    return pin_for_result(vocab, counts0), oov_u
 
 
 def lm_score(docs: DataFrame, id_col: str, text_col: str,
@@ -120,6 +128,7 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
     this is the same single shuffle, and downstream consumers avoid a
     corpus-sized re-join against ``docs``.
     """
+    own_vocab = vocab is None
     if vocab is None:
         vocab, oov_lp_u = unigram_vocab(docs, text_col, id_col,
                                         max_vocab=max_vocab, alpha=alpha)
@@ -140,10 +149,16 @@ def lm_score(docs: DataFrame, id_col: str, text_col: str,
     # string while DuckDB rounds the binary value — they disagree when
     # the average lands exactly on ..xx5 (observed).  -__s > 0 always
     # (every lp_u < 0), so no sign handling is needed.
-    return scored.select(
+    out = scored.select(
         id_col, *carry, "n_tokens",
         (F.expr("(2 * (-__s) + n_tokens) div (2 * n_tokens)")
          / F.lit(float(LP_SCALE))).alias("avg_nll"))
+    # carry the vocab's word-count pin (see unigram_vocab) onto the
+    # result so the broadcast vocab build at action time reads the cache
+    # instead of re-running the tokenize+groupBy pass.  Only for a vocab
+    # WE trained — an external vocab's pin (if any) belongs to the
+    # caller, who may serve many score calls from it.
+    return carry_pin(out, vocab) if own_vocab else out
 
 
 def lm_score_sql(table: str, id_col: str, text_col: str,
@@ -234,13 +249,14 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
     # single shuffle — lang is functionally dependent on the doc id);
     # re-joining the corpus-sized scored frame against docs just to
     # fetch lang would be a second corpus-wide exchange for nothing
-    scored = lm_score(docs, id_col, text_col, vocab=vocab,
-                      oov_lp_u=oov_lp_u, max_vocab=max_vocab, alpha=alpha,
-                      carry_cols=() if lang_col is None else (lang_col,))
+    scored0 = lm_score(docs, id_col, text_col, vocab=vocab,
+                       oov_lp_u=oov_lp_u, max_vocab=max_vocab, alpha=alpha,
+                       carry_cols=() if lang_col is None else (lang_col,))
     if lang_col is None:
-        scored = scored.withColumn("__lang", F.lit(""))
+        scored = scored0.withColumn("__lang", F.lit(""))
     else:
-        scored = scored.withColumnRenamed(lang_col, "__lang")
+        scored = scored0.withColumnRenamed(lang_col, "__lang")
+    scored = carry_pin(scored, scored0)  # keep the vocab-counts pin
     hist = (scored.groupBy("__lang", "avg_nll")
             .agg(F.count("*").alias("__c")))
     w_cum = (Window.partitionBy("__lang").orderBy("avg_nll")
@@ -261,7 +277,14 @@ def ccnet_buckets(docs: DataFrame, id_col: str, text_col: str,
     cols = [F.col(id_col)]
     if lang_col is not None:
         cols.append(F.col("__lang").alias(lang_col))
-    return out.select(*cols, "n_tokens", "avg_nll", "bucket")
+    res = out.select(*cols, "n_tokens", "avg_nll", "bucket")
+    # scored feeds two consumers — the histogram (via the broadcast
+    # label build) and the final join — and each would otherwise re-run
+    # the full lm_score pipeline (vocab train + broadcast + score pass).
+    # Pin it for the result's lifetime; its own vocab-counts pin chains
+    # along (carry_pin), released together when the caller drops res.
+    res = pin_for_result(res, scored)
+    return carry_pin(res, scored)
 
 
 def ccnet_buckets_sql(table: str, id_col: str, text_col: str,
