@@ -1203,7 +1203,12 @@ def q_dedup_incremental_near(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # each part carries a result-scoped pin on its batch's signature
+    # cache (populated by the index commit); hold the parts until the
+    # caller's action so the verdicts read those caches
+    from debezium_connector_db2_spark.functions.caching import tie_lifetime
+
+    return tie_lifetime(out, *parts)
 
 
 def q_text_quality_classifier(spark, sf_dir):

@@ -803,8 +803,16 @@ class LakeTable:
         commit_id = uuid.uuid4().hex[:12]
         staging_rel = os.path.join(_DATA_DIR, f"commit-{commit_id}")
         staging = os.path.join(self.path, staging_rel)
+        # explicit partition count = the table's bucket count: every
+        # __bucket value still lands in exactly one partition (hash mod
+        # N), but the exchange is sized by the table's own granularity
+        # knob instead of spark.sql.shuffle.partitions + an AQE
+        # re-coalesce round (measured ~0.1 s per micro-batch commit at
+        # local scale; at cluster scale n_buckets IS the write
+        # parallelism a bucketed table wants)
+        n_parts = max(int(self.manifest()["n_buckets"]), 1)
         (
-            df.repartition("__bucket")
+            df.repartition(n_parts, "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(staging)

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from debezium_connector_db2_spark.functions.caching import pin_for_result
 from debezium_connector_db2_spark.functions.text import fingerprint
 from debezium_connector_db2_spark.lake import LakeTable
 
@@ -98,7 +99,12 @@ class IncrementalDeduper:
             fingerprint(F.col(text_col)).alias("fp"),
         )
         w = Window.partitionBy("fp").orderBy("doc_id")
-        fps = fps.withColumn("__first", F.row_number().over(w) == 1)
+        # persist: the fingerprint+window frame feeds the probe build,
+        # the verdict join, and the register set — the eager index
+        # commit below materializes the cache, the verdict (pinned to
+        # it) reads it back instead of re-fingerprinting the batch
+        fps = fps.withColumn("__first",
+                             F.row_number().over(w) == 1).persist()
 
         # raw=True exposes __commit_lsn (== the registering batch_seq);
         # excluding >= batch_seq rows makes replay idempotent end-to-end.
@@ -135,7 +141,7 @@ class IncrementalDeduper:
             summary={"operation": "dedup-index-extend",
                      "batch_seq": int(batch_seq)},
         )
-        return verdict
+        return pin_for_result(verdict, fps)
 
     def max_registered_seq(self) -> int:
         """Largest ``batch_seq`` that ever registered a fingerprint (0
@@ -409,7 +415,12 @@ class IncrementalNearDeduper:
         """Verdict every batch doc against prior batches + earlier rows
         of this batch, then register the batch's band rows.  See class
         docstring for the contract."""
-        nb = self._signed_bands(docs, id_col, text_col)
+        # persist: the signature/band frame feeds the broadcast probe,
+        # BOTH sides of the within-batch candidate join, and the
+        # register set — four recomputations of the minhash aggregation
+        # per batch otherwise.  The eager index commit materializes the
+        # cache; the verdict (pinned to it) reads it back.
+        nb = self._signed_bands(docs, id_col, text_col).persist()
         new_side = (nb.select(F.col("doc_id").alias("__new"),
                               "band", "bucket",
                               F.col("sig").alias("__nsig")))
@@ -455,7 +466,7 @@ class IncrementalNearDeduper:
             summary={"operation": "neardedup-index-extend",
                      "batch_seq": int(batch_seq)},
         )
-        return verdict
+        return pin_for_result(verdict, nb)
 
     def max_registered_seq(self) -> int:
         """Largest ``batch_seq`` that ever registered (0 when fresh)."""

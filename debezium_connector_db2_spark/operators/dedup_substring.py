@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from debezium_connector_db2_spark.functions.caching import pin_for_result
+
 
 def _positional_grams(col: Column, k: int) -> Column:
     """Array of ALL k-token windows in order (index i = window starting
@@ -63,13 +65,17 @@ def window_hashes(docs: DataFrame, id_col: str, text_col: str,
 
 def _span_runs(docs: DataFrame, id_col: str, text_col: str, k: int,
                max_df: int | None,
-               drop_stats: dict | None) -> DataFrame:
+               drop_stats: dict | None) -> tuple[DataFrame, DataFrame]:
     """Maximal shared runs ``(a, b, diag, __m, __pa0)`` — a < b, run of
     ``__m`` colliding windows (== ``__m + k - 1`` shared tokens)
     starting at window ``__pa0`` of doc ``a`` (and ``__pa0 - diag`` of
     doc ``b``).  Shared by :func:`substring_pairs` (pair reporting) and
-    :func:`substring_scrub` (span removal)."""
-    w = window_hashes(docs, id_col, text_col, k)
+    :func:`substring_scrub` (span removal).  Returns ``(runs, w)`` —
+    ``w`` is the persisted window-hash frame; the caller pins it to its
+    result (both sides of the window-hash self-join, plus the df-cap
+    count when ``max_df`` is set, would otherwise each re-run the
+    tokenize + k-gram zip_with chain + per-window md5)."""
+    w = window_hashes(docs, id_col, text_col, k).persist()
     if max_df is not None:
         df_counts = (w.groupBy("wh")
                      .agg(F.count_distinct(id_col).alias("__df")))
@@ -95,7 +101,7 @@ def _span_runs(docs: DataFrame, id_col: str, text_col: str, k: int,
     return (diag.withColumn("grp", F.col("pa") - rn)
             .groupBy("a", "b", "diag", "grp")
             .agg(F.count("*").alias("__m"),
-                 F.min("pa").alias("__pa0")))
+                 F.min("pa").alias("__pa0"))), w
 
 
 def substring_pairs(docs: DataFrame, id_col: str, text_col: str,
@@ -111,13 +117,14 @@ def substring_pairs(docs: DataFrame, id_col: str, text_col: str,
     ``{"dropped_window_hashes": n}``.
     """
     min_span = k if min_span is None else min_span
-    runs = _span_runs(docs, id_col, text_col, k, max_df, drop_stats)
-    return (runs.groupBy("a", "b")
-            .agg((F.max("__m") + F.lit(k - 1)).alias("max_span"),
-                 F.sum("__m").alias("n_windows"))
-            .where(F.col("max_span") >= min_span)
-            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
-                    "max_span", "n_windows"))
+    runs, w = _span_runs(docs, id_col, text_col, k, max_df, drop_stats)
+    return pin_for_result(
+        (runs.groupBy("a", "b")
+         .agg((F.max("__m") + F.lit(k - 1)).alias("max_span"),
+              F.sum("__m").alias("n_windows"))
+         .where(F.col("max_span") >= min_span)
+         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                 "max_span", "n_windows")), w)
 
 
 def substring_scrub(docs: DataFrame, id_col: str, text_col: str,
@@ -141,7 +148,7 @@ def substring_scrub(docs: DataFrame, id_col: str, text_col: str,
     ``clean_text``.
     """
     min_span = k if min_span is None else min_span
-    runs = _span_runs(docs, id_col, text_col, k, max_df, drop_stats)
+    runs, w = _span_runs(docs, id_col, text_col, k, max_df, drop_stats)
     # DISTINCT is load-bearing: different partner docs produce the SAME
     # (id, s, e) span, and duplicate sort keys make the two island
     # windows below order ties differently between passes/engines —
@@ -181,11 +188,11 @@ def substring_scrub(docs: DataFrame, id_col: str, text_col: str,
                    F.when(F.col("__iv").isNull(), toks)
                    .otherwise(kept).alias("__kept"),
                    F.size(toks).alias("__n")))
-    return out.select(
+    return pin_for_result(out.select(
         id_col,
         (F.col("__n") - F.size("__kept")).cast("long")
         .alias("n_removed"),
-        F.array_join("__kept", " ").alias("clean_text"))
+        F.array_join("__kept", " ").alias("clean_text")), w)
 
 
 def substring_pairs_sql(table: str, id_col: str, text_col: str,

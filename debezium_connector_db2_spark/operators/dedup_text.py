@@ -639,9 +639,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                                F.coalesce(F.col("nlabel"), F.col("l.label")),
                                F.coalesce(F.col("p_label"), F.col("l.label")),
                            ).alias("label")))
-            labels = _spill(new, f"labels-{it}")
-            changed = labels.where(
-                F.col("label") != F.col("old_label")).count()
+            # the changed-row count rides the spill write itself as an
+            # Observation (safe here: `new` is a plain join+project that
+            # the write executes exactly once) — previously each round
+            # paid a second job re-reading the just-written table just
+            # to count label != old_label
+            from pyspark.sql import Observation
+
+            obs = Observation(f"cc-changed-{it}")
+            watched = new.observe(
+                obs, F.count(F.when(
+                    F.col("label") != F.col("old_label"), 1))
+                .alias("changed"))
+            labels = _spill(watched, f"labels-{it}")
+            changed = int(obs.get["changed"] or 0)
             if changed == 0:
                 converged = True
                 break
