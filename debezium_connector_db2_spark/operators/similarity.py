@@ -156,16 +156,17 @@ def embedding_near_dup_pairs(
                 .where(F.col("n") <= max_bucket_size).select("bucket"))
         a = a.join(keep, "bucket", "left_semi")
         b = b.join(keep, "bucket", "left_semi")
-    # score before dedup: a multiprobed pair appears ≤ n_planes+1 times
-    # and the dot product is cheap, while a distinct over the raw vector
-    # arrays would hash 2×dim floats per candidate row
+    # no distinct needed: id_a sits in its ONE bucket and id_b's probe
+    # set {b, b^1, b^2, ...} has pairwise-distinct values, so at most
+    # one probe of b can equal a's bucket — the equi-join emits each
+    # ordered (id_a, id_b) pair at most once; the old trailing distinct
+    # was a pure extra exchange of the surviving pair set
     return (a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(_dot(F.col("va"), F.col("vb"))
                             / (F.col("na") * F.col("nb")), 4).alias("cos"))
-            .where(F.col("cos") >= threshold)
-            .distinct())
+            .where(F.col("cos") >= threshold))
 
 
 def lsh_ann_topk(
@@ -202,7 +203,10 @@ def lsh_ann_topk(
             "query_id", "item_id",
             F.round(cosine_expr(F.col("ivec"), F.col("qvec")), round_to).alias("cos"),
         )
-        .distinct()  # an item may match several probes of one query
+        # no distinct: an item sits in ONE bucket and a query's probe
+        # set {b, b^1, b^2, ...} has pairwise-distinct values, so at
+        # most one probe of a query can equal the item's bucket — the
+        # join cannot emit a (query, item) pair twice
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -438,8 +442,10 @@ def ivf_topk(
             F.round(cosine_expr(F.col("ivec"), F.col("qvec")),
                     round_to).alias("cos"),
         )
-        .distinct()  # an item's cell may be probed once per query only,
-        # but keep the same contract as the LSH path
+        # no distinct: each item is in exactly one cell and a query's
+        # probed cells are distinct, so the equi-join cannot emit a
+        # (query, item) pair twice — a distinct here was a pure extra
+        # exchange of the candidate set (same argument as ivf_pq_topk)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("item_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
