@@ -62,6 +62,52 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Dim-specialized (unrolled) vector arithmetic — used SELECTIVELY.
+#
+# Spark's higher-order array functions (aggregate/zip_with/transform) are
+# CodegenFallback — every element of every row walks the interpreted
+# expression evaluator.  When the vector length is known, the same
+# left-fold unrolls into a flat `0.0 + a[0]*b[0] + a[1]*b[1] + ...`
+# expression that whole-stage codegen compiles — measured 2.2-2.6× faster
+# per dot at dim 64 in isolation, with IDENTICAL results: the unrolled sum
+# performs the exact same IEEE multiplies/adds in the exact same
+# left-associated order as the HOF fold, so every double is bit-equal.
+#
+# `dim` is a SPECULATIVE hint, never a contract: the expression guards on
+# `size(v) = dim` and falls back to the original HOF form otherwise (a
+# ragged or NULL vector takes the old path and produces the old value),
+# so ``dot_expr`` is universally substitutable for ``_dot``.
+#
+# SELECTIVELY, because the unrolled tree is ~64× the HOF tree and Catalyst
+# duplicates project expressions freely (CollapseProject): applied across
+# the composite IVF/PQ plans (cell scores, PQ encode, ADC, norms, LSH
+# buckets) the giant trees ended up copied into several operators —
+# megabyte task binaries, seconds of analysis per transform — and those
+# queries got 3-5× SLOWER (measured, see OPTIMIZATION_r08.md).  The win
+# survives only where the expression sits in ONE terminal projection that
+# nothing downstream re-inlines: the pair-verify dot in
+# :func:`embedding_near_dup_pairs` (floor 4.20 → 2.84 s).  Keep it that
+# narrow.
+# ---------------------------------------------------------------------------
+
+
+def _unrolled_dot_sql(a: str, b: str, dim: int) -> str:
+    return "(0.0D" + "".join(
+        f" + CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dim)) + ")"
+
+
+def dot_expr(a: str, b: str, dim: int) -> F.Column:
+    """Dot of two array columns (by name), unrolled when both have
+    exactly ``dim`` elements; bit-identical HOF fallback otherwise."""
+    qa, qb = f"`{a}`", f"`{b}`"
+    fast = F.expr(_unrolled_dot_sql(qa, qb, dim))
+    return F.when(
+        F.expr(f"size({qa}) = {dim} AND size({qb}) = {dim}"), fast
+    ).otherwise(_dot(F.col(a), F.col(b)))
+
+
 def cosine_topk(
     items: DataFrame, queries: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -108,7 +154,10 @@ def _plane(dim: int, plane_idx: int, seed: int = 7) -> list[float]:
 
 
 def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, seed: int = 7):
-    """Sign-LSH bucket id: bit i = sign(v · plane_i)."""
+    """Sign-LSH bucket id: bit i = sign(v · plane_i).  Deliberately the
+    HOF form: the bucket feeds join keys/explodes, where an unrolled
+    tree gets duplicated by the planner (measured 0.83 → 1.76 s on
+    ann_lsh_topk — see the dim-specialization note above)."""
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = _alit(_plane(dim, p, seed))  # one-call literal (_alit)
@@ -164,7 +213,7 @@ def embedding_near_dup_pairs(
     return (a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(_dot(F.col("va"), F.col("vb"))
+                    F.round(dot_expr("va", "vb", dim)
                             / (F.col("na") * F.col("nb")), 4).alias("cos"))
             .where(F.col("cos") >= threshold))
 

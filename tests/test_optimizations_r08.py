@@ -115,3 +115,31 @@ def test_multi_consumer_intermediates_are_cached(spark):
             f"{name}: shared intermediate is no longer persisted")
         # the pin must be result-scoped: dropping the result frees it
         del df
+
+
+def test_unrolled_vector_math_bit_equals_hof(spark):
+    """The dim-specialized (unrolled, codegen'd) pair-verify dot must be
+    BIT-equal to the interpreted HOF fold it replaces — on well-formed
+    vectors (fast path), ragged vectors and NULLs (guarded fallback)
+    alike.  eqNullSafe so NULL == NULL holds."""
+    from debezium_connector_db2_spark.operators.similarity import (
+        _dot,
+        dot_expr,
+    )
+
+    dim = 16
+    rows = []
+    for i in range(200):
+        v = [((i * 31 + t * 7) % 97) / 97.0 - 0.49 for t in range(dim)]
+        w = [((i * 17 + t * 3) % 89) / 89.0 - 0.51 for t in range(dim)]
+        rows.append((i, v, w))
+    rows.append((900, [1.0, 2.0], [0.5] * dim))        # ragged a
+    rows.append((901, [1.0] * (dim + 3), [0.5] * dim))  # too-long a
+    rows.append((902, None, [0.5] * dim))               # NULL a
+    df = spark.createDataFrame(
+        rows, "id: long, v: array<double>, w: array<double>")
+
+    new, old = dot_expr("v", "w", dim), _dot(F.col("v"), F.col("w"))
+    got = df.agg(
+        F.sum((~new.eqNullSafe(old)).cast("long")).alias("m")).collect()[0]
+    assert got["m"] == 0, f"{got['m']} rows diverge from the HOF fold"
