@@ -1054,13 +1054,24 @@ def q_text_pack_plan(spark, sf_dir):
     """Concat-and-chunk packing plan (operators/packing.py): shard /
     offset / pack / boundary flag per document from one per-shard
     running token sum — the corpus-to-training-sequence step; the only
-    exchange is the hash partition by shard."""
+    exchange is the hash partition by shard.
+
+    The two windowed-sum columns are cast to DECIMAL(38,0) here:
+    DuckDB promotes ``sum(BIGINT) OVER`` to HUGEINT, which its arrow
+    export renders as decimal128(38,0), so the declared query matches
+    the oracle twin's arrow types exactly (values were always equal;
+    the operator itself keeps BIGINT offsets)."""
+    from pyspark.sql import functions as F
+
     from debezium_connector_db2_spark.operators.packing import pack_plan
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_plan(docs, "doc_id", text_col="text",
+    plan = pack_plan(docs, "doc_id", text_col="text",
                      budget=PACK_BUDGET, n_shards=PACK_SHARDS,
                      seed=PACK_SEED)
+    return plan.withColumn(
+        "start_offset", F.col("start_offset").cast("decimal(38,0)")
+    ).withColumn("pack_id", F.col("pack_id").cast("decimal(38,0)"))
 
 
 #: Mixture targets shared by the Spark query and its SQL twin: rebalance

@@ -143,3 +143,29 @@ def test_unrolled_vector_math_bit_equals_hof(spark):
     got = df.agg(
         F.sum((~new.eqNullSafe(old)).cast("long")).alias("m")).collect()[0]
     assert got["m"] == 0, f"{got['m']} rows diverge from the HOF fold"
+
+
+def test_pack_plan_query_matches_oracle_arrow_types(spark):
+    """The declared text_pack_plan query must be arrow-level identical
+    to its DuckDB oracle twin: DuckDB promotes ``sum(BIGINT) OVER`` to
+    HUGEINT, exported to arrow as decimal128(38,0), and the driver
+    hashes at arrow level — so the query wrapper casts start_offset /
+    pack_id to DECIMAL(38,0) (values unchanged; the round-7 red cell).
+    A stringified compare cannot see this, hence the arrow assert."""
+    duckdb = pytest.importorskip("duckdb")
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{os.path.join(SF, 'documents.parquet')}'")
+    otbl = con.sql(em.oracle_sql()["text_pack_plan"]).arrow()
+    stbl = em.q_text_pack_plan(spark, SF).toArrow()
+
+    def _sorted(t):
+        cols = sorted(t.schema.names)
+        return t.select(cols).sort_by([(c, "ascending") for c in cols])
+
+    a, b = _sorted(otbl), _sorted(stbl)
+    assert a.schema.equals(b.schema), f"{a.schema}\n!=\n{b.schema}"
+    assert a.equals(b), "arrow tables differ"
