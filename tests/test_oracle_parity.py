@@ -58,3 +58,27 @@ def test_overflow_query_matches_oracle(spark, name):
                            e.oracle_sql()[name], SF_DIR)
     assert ok, f"{name}: {detail}"
     assert "WARN" not in detail, f"{name}: {detail}"
+
+
+def test_no_oracle_twin_emits_unmatched_hugeint():
+    """Round 7's one red driver cell came from a type the stringified
+    compare cannot see: DuckDB promotes windowed sums to HUGEINT
+    (arrow decimal128(38,0)) while Spark emitted int64 — equal values,
+    diverging driver hash.  Sweep every twin's bound DuckDB types: the
+    only relation allowed to emit HUGEINT is text_pack_plan, whose
+    Spark wrapper is pinned arrow-identical to it (DECIMAL(38,0) cast;
+    test_optimizations_r08.test_pack_plan_query_matches_oracle_arrow_types).
+    A new twin reintroducing an unmatched HUGEINT fails here instead of
+    failing the driver a round later."""
+    from scripts.check_contract import duck_connection
+
+    e = _entry()
+    con = duck_connection(SF_DIR)
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        types = [str(t).upper() for t in con.sql(sql).types]
+        bad = [t for t in types if "HUGEINT" in t]
+        if bad:
+            offenders[name] = bad
+    assert set(offenders) <= {"text_pack_plan"}, (
+        f"twins emitting HUGEINT without a pinned arrow match: {offenders}")
